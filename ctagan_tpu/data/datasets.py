@@ -1,0 +1,157 @@
+"""List-file datasets: NCCT<->CTA slice pairing and the dual-window family.
+
+Rebuilds the reference's dataset surface (trainer/datasets.py:85-293) without
+torch: a dataset yields numpy dicts, and ``ctagan_tpu.data.loader`` turns it
+into an async device feed.
+
+Pairing convention (datasets.py:94-97): each list file holds NCCT slice
+paths containing ``SE0``; the CTA partner is the same path with ``SE0`` ->
+``SE1``.
+
+Two families:
+- ``PairedSliceDataset`` — the single-channel family (ImageDataset /
+  ValDataset / TestDataset): full-range normalization only
+  (``read_dicom`` semantics, datasets.py:74-82).
+- ``DualWindowDataset`` — the ``_x`` family (ImageDataset_x & co.): each
+  item yields {A1, A2, B1, B2} = (windowed, full-range) for input & target
+  (``read_ori_w`` semantics, datasets.py:36-71), and the train split is
+  re-oversampled per epoch: ``traind1`` appended once, ``traind2`` appended
+  a random 3..5 times (datasets.py:198-211) via :meth:`resample`.
+
+Normalization here is host-side numpy (it must happen before batching);
+the same transforms exist as jnp ops in ``ctagan_tpu.ops.windowing`` for
+fused on-device use.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ctagan_tpu.data.dicom import read_dicom
+
+_WC_DEFAULT = 50.0
+_WW_DEFAULT = 400.0
+
+
+def read_fullrange_slice(path: str) -> np.ndarray:
+    """Stored pixels -> full-range [-1, 1] (datasets.py:74-82): clamp
+    negatives, /4095, center."""
+    ds = read_dicom(path)
+    img = ds.pixel_array().astype(np.float32)
+    img[img < 0] = 0
+    img = img / 4095.0
+    return ((img - 0.5) / 0.5).astype(np.float32)
+
+
+def read_dual_window_slice(path: str, wc: float = _WC_DEFAULT, ww: float = _WW_DEFAULT):
+    """Stored pixels -> (windowed, fullrange), both [-1, 1]
+    (``read_ori_w``, datasets.py:36-71). The windowed view is computed on
+    HU = stored - 1024 with the fixed clinical window WC=50/WW=400."""
+    ds = read_dicom(path)
+    raw = ds.pixel_array().astype(np.float32)
+    hu = raw - 1024.0
+
+    win_min = (2 * wc - ww) / 2.0 + 0.5
+    win_max = (2 * wc + ww) / 2.0 + 0.5
+    d = 255.0 / (win_max - win_min)
+    img1 = np.trunc((hu - win_min) * d)
+    np.clip(img1, 0, 255, out=img1)
+    img1 = img1 / 255.0
+    img1 = (img1 - 0.5) / 0.5
+
+    img2 = raw.copy()
+    img2[img2 < 0] = 0
+    img2 = img2 / 4095.0
+    img2 = (img2 - 0.5) / 0.5
+    return img1.astype(np.float32), img2.astype(np.float32)
+
+
+def _read_list(path: str) -> List[str]:
+    with open(path) as f:
+        return [line.strip("\n") for line in f if line.strip()]
+
+
+def _pair(paths: Sequence[str]):
+    return [p.replace("SE0", "SE1") for p in paths]
+
+
+class PairedSliceDataset:
+    """Single-channel paired dataset (A = NCCT SE0, B = CTA SE1)."""
+
+    def __init__(self, list_file: str, sort: bool = True, unaligned: bool = False):
+        files_a = _read_list(list_file)
+        if sort:
+            files_a = sorted(files_a)
+        self.files_a = files_a
+        self.files_b = _pair(files_a)
+        self.unaligned = unaligned
+
+    def __len__(self):
+        return len(self.files_a)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        a_path = self.files_a[index % len(self.files_a)]
+        b_path = self.files_b[index % len(self.files_b)]
+        item = {
+            "A": read_fullrange_slice(a_path)[..., None],
+            "B": read_fullrange_slice(b_path)[..., None],
+        }
+        item["A_path"] = a_path
+        return item
+
+
+class DualWindowDataset:
+    """Dual-window paired dataset ({A1, A2, B1, B2}) with per-epoch
+    stochastic oversampling of the hard-example lists."""
+
+    def __init__(
+        self,
+        list_file: str,
+        oversample: bool = False,
+        sort: bool = True,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        self.list_file = list_file
+        self.base = _read_list(list_file)
+        self.oversample = oversample
+        self.sort = sort
+        self.files_a: List[str] = []
+        self.files_b: List[str] = []
+        self.resample(rng or np.random.default_rng())
+
+    def resample(self, rng: np.random.Generator):
+        """Rebuild the (oversampled) file list — the reference rebuilds the
+        whole DataLoader every epoch for this (HdTrainer.py:175-182,
+        datasets.py:198-211): base + traind1 once + traind2 x randint(3, 6)."""
+        files = list(self.base)
+        if self.oversample:
+            d1 = self.list_file.replace("train", "traind1")
+            d2 = self.list_file.replace("train", "traind2")
+            if os.path.exists(d1):
+                files += _read_list(d1)
+            if os.path.exists(d2):
+                reps = int(rng.integers(3, 6))
+                for _ in range(reps):
+                    files += _read_list(d2)
+        if self.sort:
+            files = sorted(files)
+        self.files_a = files
+        self.files_b = _pair(files)
+
+    def __len__(self):
+        return len(self.files_a)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        a_path = self.files_a[index % len(self.files_a)]
+        b_path = self.files_b[index % len(self.files_b)]
+        a1, a2 = read_dual_window_slice(a_path)
+        b1, b2 = read_dual_window_slice(b_path)
+        return {
+            "A1": a1[..., None],
+            "A2": a2[..., None],
+            "B1": b1[..., None],
+            "B2": b2[..., None],
+            "A_path": a_path,
+        }

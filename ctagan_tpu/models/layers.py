@@ -1,0 +1,260 @@
+"""Layer library: NHWC Flax primitives shared by the model zoo.
+
+TPU-first counterpart of the reference's layer vocabulary
+(Model/CycleGan.py, Model/HdGan.py, trainer/layers.py): reflection-padded
+convs, affine-free instance norm, PyTorch-compatible strided / transposed
+convs and initializers. Everything is channels-last (NHWC) — the layout XLA
+tiles best onto the MXU — and dtype-polymorphic so the whole stack can run
+in bfloat16 with float32 params.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# ---------------------------------------------------------------------------
+# Initializers matching PyTorch defaults / the reference's choices
+# ---------------------------------------------------------------------------
+
+def torch_conv_kernel_init():
+    """PyTorch Conv2d default: kaiming_uniform(a=sqrt(5)) == variance 1/(3 fan_in)."""
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_conv_bias_init(kernel_size: Sequence[int], in_features: int):
+    """PyTorch Conv2d default bias: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    fan_in = in_features
+    for k in kernel_size:
+        fan_in *= k
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def kaiming_normal_init(negative_slope: float = 0.0):
+    """kaiming_normal(fan_in, leaky_relu a) — trainer/layers.py:31-33."""
+    gain_sq = 2.0 / (1.0 + negative_slope**2)
+    return nn.initializers.variance_scaling(gain_sq, "fan_in", "normal")
+
+
+def near_zero_init(std: float = 1e-5):
+    """The reference's 'zeros' init = normal(0, 1e-5) (layers.py:44) — used to
+    initialize the deformation head to (near-)identity."""
+    return nn.initializers.normal(stddev=std)
+
+
+# ---------------------------------------------------------------------------
+# Functional primitives
+# ---------------------------------------------------------------------------
+
+def reflect_pad(x, pad: int):
+    """ReflectionPad2d for NHWC input."""
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+def instance_norm(x, eps: float = 1e-5):
+    """InstanceNorm2d(affine=False, track_running_stats=False): normalize each
+    (sample, channel) plane over H, W. Stats in fp32 for bf16 inputs."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return out.astype(x.dtype)
+
+
+def leaky_relu(x, negative_slope: float = 0.2):
+    return nn.leaky_relu(x, negative_slope)
+
+
+def max_pool(x, window: int = 2):
+    return nn.max_pool(x, (window, window), strides=(window, window))
+
+
+def avg_pool_same(x, window: int = 3, stride: int = 2):
+    """AvgPool2d(3, stride=2, padding=1, count_include_pad=False) — the HD
+    multi-scale pyramid downsampler (HdGan.py:224)."""
+    summed = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, window, window, 1), (1, stride, stride, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    counts = jax.lax.reduce_window(
+        jnp.ones_like(x), 0.0, jax.lax.add, (1, window, window, 1),
+        (1, stride, stride, 1), [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    return summed / counts
+
+
+def center_crop(x, size: int):
+    """torchvision tf.center_crop for NHWC — the HD stage-2 multi-scale
+    transition (HdGan.py:251)."""
+    h, w = x.shape[1], x.shape[2]
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return x[:, top : top + size, left : left + size, :]
+
+
+def global_avg_pool_logit(x):
+    """avg_pool2d over full spatial extent -> (N, C) (CycleGan.py:103)."""
+    return jnp.mean(x, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Flax modules
+# ---------------------------------------------------------------------------
+
+class ConvTorch(nn.Module):
+    """Conv2d with PyTorch-default init and integer zero padding."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kinit = self.kernel_init or torch_conv_kernel_init()
+        binit = self.bias_init or torch_conv_bias_init((k, k), x.shape[-1])
+        return nn.Conv(
+            self.features,
+            (k, k),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            use_bias=self.use_bias,
+            kernel_init=kinit,
+            bias_init=binit,
+            dtype=self.dtype,
+        )(x)
+
+
+class ConvTransposeTorch(nn.Module):
+    """ConvTranspose2d(k=3, s=2, p=1, output_padding=1) equivalent: doubles
+    H and W exactly like the reference generator's up path (CycleGan.py:50).
+
+    Implemented as input dilation + asymmetric padding (lo = k-1-p,
+    hi = k-1-p+output_padding) with a transposed kernel — the form XLA maps
+    straight onto the MXU.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        lo = k - 1 - self.padding
+        hi = k - 1 - self.padding + self.output_padding
+        # torch fan_in for ConvTranspose default init counts out_channels*k*k
+        fan_in = self.features * k * k
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            bound = 1.0 / jnp.sqrt(fan_in)
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        return nn.ConvTranspose(
+            self.features,
+            (k, k),
+            strides=(self.stride, self.stride),
+            padding=[(lo, hi), (lo, hi)],
+            kernel_init=nn.initializers.variance_scaling(
+                1.0 / 3.0, "fan_out", "uniform"
+            ),
+            bias_init=bias_init,
+            transpose_kernel=True,
+            dtype=self.dtype,
+        )(x)
+
+
+class ResidualBlock(nn.Module):
+    """reflect-pad 3x3 conv + IN + ReLU + reflect-pad 3x3 conv + IN, additive
+    skip (CycleGan.py:6-21)."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = reflect_pad(x, 1)
+        h = ConvTorch(self.features, 3, dtype=self.dtype)(h)
+        h = instance_norm(h)
+        h = nn.relu(h)
+        h = reflect_pad(h, 1)
+        h = ConvTorch(self.features, 3, dtype=self.dtype)(h)
+        h = instance_norm(h)
+        return x + h
+
+
+class RegConv(nn.Module):
+    """trainer/layers.py:71-104 ``Conv``: conv -> (no norm) -> activation ->
+    optional single ResnetBlock; kaiming init, zero bias."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    activation: Optional[str] = "leaky_relu"
+    use_resnet: bool = False
+    zero_init: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        slope = 0.2 if self.activation == "leaky_relu" else 0.0
+        kinit = near_zero_init() if self.zero_init else kaiming_normal_init(slope)
+        x = ConvTorch(
+            self.features,
+            self.kernel_size,
+            self.stride,
+            self.padding,
+            kernel_init=kinit,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )(x)
+        if self.activation == "leaky_relu":
+            x = leaky_relu(x, 0.2)
+        elif self.activation == "relu":
+            x = nn.relu(x)
+        if self.use_resnet:
+            x = RegResnetBlock(self.features, dtype=self.dtype)(x)
+        return x
+
+
+class RegResnetBlock(nn.Module):
+    """layers.py:244-300 ``ResnetBlock``: reflect 3x3 conv + IN + ReLU +
+    reflect 3x3 conv + IN, additive skip; kaiming init, zero bias."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        init = kaiming_normal_init(0.0)
+        h = reflect_pad(x, 1)
+        h = ConvTorch(
+            self.features, 3, kernel_init=init, bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )(h)
+        h = instance_norm(h)
+        h = nn.relu(h)
+        h = reflect_pad(h, 1)
+        h = ConvTorch(
+            self.features, 3, kernel_init=init, bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )(h)
+        h = instance_norm(h)
+        return x + h

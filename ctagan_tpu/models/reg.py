@@ -1,0 +1,68 @@
+"""RegNet — the deformable-registration ResUNet producing a dense 2-D flow.
+
+Parity with trainer/reg.py:31-132 (config 'A'):
+- inputs: concat(img_a, img_b) on channels;
+- 7 down blocks ndf=[32,64,64,64,64,64,64], each = 3x3 conv (leaky 0.2,
+  no norm) + one resnet block, with max-pool-2 and pre-pool skip;
+- bottleneck: 1x1 conv 64->128, 3 resnet blocks, 1x1 conv 128->64;
+- 7 up stages nuf=[64,64,64,64,64,64,32]: bilinear-resize to the skip's
+  size (align_corners=False), concat [up, skip], 3x3 conv;
+- refine: 1 resnet block + 1x1 conv;
+- output: 3x3 conv -> 2 channels, near-zero init (init_to_identity) so the
+  initial deformation is ~0. Output is NHWC flow (N, H, W, 2) with channel 0
+  the row (y) displacement — see ops.warp.warp2d.
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ctagan_tpu.models.layers import RegConv, RegResnetBlock, max_pool
+from ctagan_tpu.ops.resize import interpolate_bilinear
+
+NDF = (32, 64, 64, 64, 64, 64, 64)
+NUF = (64, 64, 64, 64, 64, 64, 32)
+
+
+class RegNet(nn.Module):
+    in_channels_a: int = 1
+    in_channels_b: int = 1
+    resnet_nblocks: int = 3
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, img_a, img_b):
+        x = jnp.concatenate([img_a, img_b], axis=-1)
+        skips = []
+        # down path
+        for i, nf in enumerate(NDF):
+            x = RegConv(
+                nf, 3, 1, 1, activation="leaky_relu", use_resnet=True,
+                dtype=self.dtype, name=f"down_{i + 1}",
+            )(x)
+            skips.append(x)
+            x = max_pool(x, 2)
+        # bottleneck
+        x = RegConv(2 * NDF[-1], 1, 1, 0, dtype=self.dtype, name="c1")(x)
+        for j in range(self.resnet_nblocks):
+            x = RegResnetBlock(2 * NDF[-1], dtype=self.dtype, name=f"t_{j}")(x)
+        x = RegConv(NDF[-1], 1, 1, 0, dtype=self.dtype, name="c2")(x)
+        # up path
+        for i, nf in enumerate(NUF):
+            skip = skips[len(NDF) - 1 - i]
+            x = interpolate_bilinear(x, (skip.shape[1], skip.shape[2]))
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = RegConv(
+                nf, 3, 1, 1, dtype=self.dtype, name=f"up_{len(NDF) - i}",
+            )(x)
+        # refine
+        x = RegResnetBlock(NUF[-1], dtype=self.dtype, name="refine_res")(x)
+        x = RegConv(NUF[-1], 1, 1, 0, dtype=self.dtype, name="refine_conv")(x)
+        # near-identity flow head
+        flow = RegConv(
+            2, 3, 1, 1, activation=None, zero_init=True, dtype=self.dtype,
+            name="output",
+        )(x)
+        return flow

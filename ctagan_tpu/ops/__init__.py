@@ -1,0 +1,11 @@
+from ctagan_tpu.ops.windowing import (
+    window_normalize,
+    fullrange_normalize,
+    dual_window,
+    to_windowdata,
+    body_mask,
+    mask_background_to_air,
+)
+from ctagan_tpu.ops.warp import grid_sample_border, warp2d
+from ctagan_tpu.ops.resize import interpolate_nearest, interpolate_bilinear
+from ctagan_tpu.ops import losses, metrics

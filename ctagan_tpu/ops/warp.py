@@ -1,0 +1,81 @@
+"""Dense 2-D deformation warp (differentiable grid sample), NHWC.
+
+TPU-native equivalent of the reference's spatial transformer
+(trainer/transformer.py:7-31): the reference builds a pixel mesh-grid, adds
+the flow, normalizes to [-1,1] and calls ``F.grid_sample(align_corners=True,
+padding_mode='border')``. With align_corners=True the normalize/denormalize
+round-trips exactly, and border padding on a bilinear sample is equivalent to
+clamping the sample coordinate to [0, S-1] — so the TPU formulation works
+directly in pixel space: sample ``src`` at ``(y + flow_y, x + flow_x)``
+clamped, with bilinear interpolation, implemented as 4 batched gathers
+(XLA lowers these well on TPU; the backward pass is the induced scatter-add).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def grid_sample_border(src, coords_y, coords_x):
+    """Bilinear sample of ``src`` (N,H,W,C) at absolute pixel coordinates.
+
+    ``coords_y``/``coords_x``: (N, Ho, Wo) float sample locations in pixel
+    units; out-of-range coordinates are clamped (== grid_sample border
+    padding with align_corners=True). Returns (N, Ho, Wo, C).
+    """
+    n, h, w, c = src.shape
+    cy = jnp.clip(coords_y, 0.0, h - 1.0)
+    cx = jnp.clip(coords_x, 0.0, w - 1.0)
+
+    y0 = jnp.floor(cy)
+    x0 = jnp.floor(cx)
+    wy = cy - y0
+    wx = cx - x0
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+
+    flat = src.reshape(n, h * w, c)
+
+    def gather(yi, xi):
+        idx = (yi * w + xi).reshape(n, -1, 1)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(
+            n, cy.shape[1], cy.shape[2], c
+        )
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
+
+    wy = wy[..., None]
+    wx = wx[..., None]
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+def warp2d(src, flow):
+    """Warp ``src`` (N,H,W,C) by a dense flow field (N,H,W,2).
+
+    ``flow[..., 0]`` displaces along axis H (rows / y) and ``flow[..., 1]``
+    along axis W (cols / x) — the same channel convention as the reference's
+    (N,2,H,W) flow (transformer.py:13-29) transposed to NHWC. Differentiable
+    in both ``src`` and ``flow``.
+    """
+    n, h, w, _ = flow.shape
+    yy = jax.lax.broadcasted_iota(jnp.float32, (n, h, w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (n, h, w), 2)
+    return grid_sample_border(src, yy + flow[..., 0], xx + flow[..., 1])
+
+
+def smoothing_loss(flow):
+    """Mean squared forward-difference of the flow field (utils.py:165-173).
+
+    ``flow``: (N, H, W, 2). Matches the reference: mean(dx^2) + mean(dy^2)
+    where dy/dx are absolute first differences along H and W.
+    """
+    dy = flow[:, 1:, :, :] - flow[:, :-1, :, :]
+    dx = flow[:, :, 1:, :] - flow[:, :, :-1, :]
+    return jnp.mean(dx * dx) + jnp.mean(dy * dy)

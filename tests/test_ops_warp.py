@@ -1,0 +1,86 @@
+"""Warp parity vs torch.nn.functional.grid_sample (align_corners=True,
+padding_mode='border') — the exact configuration of the reference's
+Transformer_2D (trainer/transformer.py:22-29)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from ctagan_tpu.ops.warp import warp2d, grid_sample_border, smoothing_loss
+
+
+def _torch_warp(src_nchw, flow_n2hw):
+    """The reference Transformer_2D forward, built from torch primitives."""
+    src = torch.tensor(src_nchw)
+    flow = torch.tensor(flow_n2hw)
+    b, _, h, w = flow.shape
+    grids = torch.meshgrid(torch.arange(h), torch.arange(w), indexing="ij")
+    grid = torch.stack(grids).float().repeat(b, 1, 1, 1)
+    new_locs = grid + flow
+    for i, s in enumerate((h, w)):
+        new_locs[:, i] = 2 * (new_locs[:, i] / (s - 1) - 0.5)
+    new_locs = new_locs.permute(0, 2, 3, 1)[..., [1, 0]]
+    return F.grid_sample(src, new_locs, align_corners=True, padding_mode="border")
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_warp2d_matches_torch_grid_sample(seed):
+    rng = np.random.default_rng(seed)
+    n, h, w, c = 2, 24, 20, 3
+    src = rng.standard_normal((n, c, h, w)).astype(np.float32)
+    flow = (rng.standard_normal((n, 2, h, w)) * 5).astype(np.float32)
+
+    want = _torch_warp(src, flow).numpy()
+    got = np.asarray(
+        warp2d(
+            jnp.asarray(src.transpose(0, 2, 3, 1)),
+            jnp.asarray(flow.transpose(0, 2, 3, 1)),
+        )
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_warp_zero_flow_is_identity():
+    rng = np.random.default_rng(3)
+    src = rng.standard_normal((1, 16, 16, 1)).astype(np.float32)
+    out = np.asarray(warp2d(jnp.asarray(src), jnp.zeros((1, 16, 16, 2))))
+    np.testing.assert_allclose(out, src, atol=1e-6)
+
+
+def test_warp_border_clamps():
+    src = jnp.arange(16.0).reshape(1, 4, 4, 1)
+    big_flow = jnp.full((1, 4, 4, 2), 100.0)  # way off the grid
+    out = np.asarray(warp2d(src, big_flow))
+    np.testing.assert_allclose(out, 15.0)  # bottom-right pixel everywhere
+
+
+def test_warp_is_differentiable_in_flow_and_src():
+    src = jnp.ones((1, 8, 8, 1))
+    flow = jnp.zeros((1, 8, 8, 2))
+    g_src, g_flow = jax.grad(lambda s, f: jnp.sum(warp2d(s, f) ** 2), argnums=(0, 1))(
+        src, flow
+    )
+    assert g_src.shape == src.shape and g_flow.shape == flow.shape
+    assert np.all(np.isfinite(np.asarray(g_src)))
+
+
+def test_smoothing_loss_matches_reference_formula():
+    rng = np.random.default_rng(4)
+    flow = rng.standard_normal((2, 10, 12, 2)).astype(np.float32)
+    t = torch.tensor(flow.transpose(0, 3, 1, 2))
+    dy = torch.abs(t[:, :, 1:, :] - t[:, :, :-1, :]) ** 2
+    dx = torch.abs(t[:, :, :, 1:] - t[:, :, :, :-1]) ** 2
+    want = (dx.mean() + dy.mean()).item()
+    got = float(smoothing_loss(jnp.asarray(flow)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_grid_sample_border_arbitrary_coords():
+    src = jnp.arange(12.0).reshape(1, 3, 4, 1)
+    cy = jnp.array([[[0.5, 2.0]]])
+    cx = jnp.array([[[0.5, 3.0]]])
+    out = np.asarray(grid_sample_border(src, cy, cx))
+    np.testing.assert_allclose(out[0, 0, 0, 0], (0 + 1 + 4 + 5) / 4.0)
+    np.testing.assert_allclose(out[0, 0, 1, 0], 11.0)
