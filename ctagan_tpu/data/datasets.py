@@ -35,6 +35,18 @@ _WC_DEFAULT = 50.0
 _WW_DEFAULT = 400.0
 
 
+def _resize_nearest_np(img: np.ndarray, size: int) -> np.ndarray:
+    """Host-side nearest resize matching torch F.interpolate default — the
+    reference's ``Resize`` transform (utils.py:13-32, mode defaulting to
+    nearest). Identity when already at size."""
+    h, w = img.shape
+    if (h, w) == (size, size):
+        return img
+    ys = np.floor(np.arange(size) * (h / size)).astype(np.int64)
+    xs = np.floor(np.arange(size) * (w / size)).astype(np.int64)
+    return img[np.ix_(ys, xs)]
+
+
 def read_fullrange_slice(path: str) -> np.ndarray:
     """Stored pixels -> full-range [-1, 1] (datasets.py:74-82): clamp
     negatives, /4095, center."""
@@ -80,24 +92,34 @@ def _pair(paths: Sequence[str]):
 class PairedSliceDataset:
     """Single-channel paired dataset (A = NCCT SE0, B = CTA SE1)."""
 
-    def __init__(self, list_file: str, sort: bool = True, unaligned: bool = False):
+    def __init__(
+        self,
+        list_file: str,
+        sort: bool = True,
+        unaligned: bool = False,
+        size: Optional[int] = None,
+    ):
         files_a = _read_list(list_file)
         if sort:
             files_a = sorted(files_a)
         self.files_a = files_a
         self.files_b = _pair(files_a)
         self.unaligned = unaligned
+        self.size = size
 
     def __len__(self):
         return len(self.files_a)
 
+    def _load(self, path: str) -> np.ndarray:
+        img = read_fullrange_slice(path)
+        if self.size:
+            img = _resize_nearest_np(img, self.size)
+        return img[..., None]
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         a_path = self.files_a[index % len(self.files_a)]
         b_path = self.files_b[index % len(self.files_b)]
-        item = {
-            "A": read_fullrange_slice(a_path)[..., None],
-            "B": read_fullrange_slice(b_path)[..., None],
-        }
+        item = {"A": self._load(a_path), "B": self._load(b_path)}
         item["A_path"] = a_path
         return item
 
@@ -112,11 +134,13 @@ class DualWindowDataset:
         oversample: bool = False,
         sort: bool = True,
         rng: Optional[np.random.Generator] = None,
+        size: Optional[int] = None,
     ):
         self.list_file = list_file
         self.base = _read_list(list_file)
         self.oversample = oversample
         self.sort = sort
+        self.size = size
         self.files_a: List[str] = []
         self.files_b: List[str] = []
         self.resample(rng or np.random.default_rng())
@@ -148,6 +172,10 @@ class DualWindowDataset:
         b_path = self.files_b[index % len(self.files_b)]
         a1, a2 = read_dual_window_slice(a_path)
         b1, b2 = read_dual_window_slice(b_path)
+        if self.size:
+            a1, a2, b1, b2 = (
+                _resize_nearest_np(x, self.size) for x in (a1, a2, b1, b2)
+            )
         return {
             "A1": a1[..., None],
             "A2": a2[..., None],

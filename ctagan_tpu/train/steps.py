@@ -1,0 +1,358 @@
+"""Functional, jit-compiled train/eval steps for the four trainer families.
+
+The reference expresses each optimization step imperatively with
+``.backward()``/``optimizer.step()``/``no_grad`` (CycTrainer.py:138-197,
+p2pTrainer.py:122-148, RegTrainer.py:173-198, HdTrainer.py:192-228,
+709-760). Here each family is a single pure function
+``state, batch, lr(s), key -> state, losses`` compiled once by ``jax.jit``:
+
+- G (and R) updates take grads through a joint loss with the discriminator
+  frozen (its params are captured as non-diff arguments);
+- the D update re-runs G's forward with the *updated* G params under
+  ``stop_gradient`` — faithfully matching the reference, which re-forwards
+  under ``no_grad`` *after* stepping G;
+- the whole G+D (or G+R+D) sequence fuses into one XLA program: one
+  host->device transfer per batch, zero host sync inside the step;
+- augmentation (random affine) runs on device at the top of the step —
+  replacing the reference's host-side PIL pipeline;
+- Adam(0.5, 0.999) with the learning rate passed in as a traced scalar, so
+  the reference's mutating lr schedule (including its accelerating-decay
+  quirk, CycTrainer.py:117-126) needs no recompilation.
+
+Parallelism: steps are written batch-first and loss terms are global-batch
+means, so sharding the batch over a 1-D mesh makes XLA's SPMD partitioner
+derive the gradient all-reduce over ICI automatically.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ctagan_tpu.ops import losses as L
+from ctagan_tpu.ops.augment import random_affine
+from ctagan_tpu.ops.warp import smoothing_loss, warp2d
+from ctagan_tpu.train.replay_buffer import ReplayBuffer, push_and_pop
+
+Params = Any
+
+
+def make_optimizer():
+    """Adam direction (b1=0.5, b2=0.999, eps=1e-8) — lr applied manually so
+    it can be a traced runtime scalar."""
+    return optax.scale_by_adam(b1=0.5, b2=0.999, eps=1e-8)
+
+
+def _apply(tx, grads, opt_state, params, lr):
+    updates, new_opt = tx.update(grads, opt_state, params)
+    new_params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+    return new_params, new_opt
+
+
+def _ones(pred):
+    return jnp.ones_like(pred)
+
+
+def _zeros(pred):
+    return jnp.zeros_like(pred)
+
+
+# ===========================================================================
+# pix2pix (p2pTrainer.py:117-148)
+# ===========================================================================
+
+@struct.dataclass
+class P2pState:
+    g_params: Params
+    d_params: Params
+    g_opt: Any
+    d_opt: Any
+    rng: jax.Array
+
+
+def init_p2p_state(g_model, d_model, key, size, input_nc=1, output_nc=1):
+    kg, kd, kr = jax.random.split(key, 3)
+    a = jnp.zeros((1, size, size, input_nc))
+    ab = jnp.zeros((1, size, size, input_nc + output_nc))
+    tx = make_optimizer()
+    gp = g_model.init(kg, a)
+    dp = d_model.init(kd, ab)
+    return P2pState(gp, dp, tx.init(gp), tx.init(dp), kr), tx
+
+
+def p2p_train_step(g_model, d_model, tx, cfg, state: P2pState, batch, lr):
+    """cfg: dict(P2P_lamda, Adv_lamda, noise_level). batch: A, B (N,H,W,C)."""
+    rng, ka, kb = jax.random.split(state.rng, 3)
+    a = random_affine(ka, batch["A"], cfg["noise_level"])
+    b = random_affine(kb, batch["B"], cfg["noise_level"])
+
+    def g_loss_fn(gp):
+        fake = g_model.apply(gp, a)
+        loss_l1 = L.l1(fake, b) * cfg["P2P_lamda"]
+        pred = d_model.apply(state.d_params, jnp.concatenate([a, fake], -1))
+        loss_adv = L.mse(pred, _ones(pred)) * cfg["Adv_lamda"]
+        return loss_l1 + loss_adv, (loss_l1, loss_adv)
+
+    (g_loss, (l1v, advv)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+        state.g_params
+    )
+    g_params, g_opt = _apply(tx, g_grads, state.g_opt, state.g_params, lr)
+
+    # D update: re-forward with the UPDATED generator (reference order)
+    fake2 = jax.lax.stop_gradient(g_model.apply(g_params, a))
+
+    def d_loss_fn(dp):
+        # faithful quirk: the reference scales the *predictions* by Adv_lamda
+        # before the MSE (p2pTrainer.py:143-145)
+        pf = d_model.apply(dp, jnp.concatenate([a, fake2], -1)) * cfg["Adv_lamda"]
+        pr = d_model.apply(dp, jnp.concatenate([a, b], -1)) * cfg["Adv_lamda"]
+        return L.mse(pf, _zeros(pf)) + L.mse(pr, _ones(pr))
+
+    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+    d_params, d_opt = _apply(tx, d_grads, state.d_opt, state.d_params, lr)
+
+    new_state = P2pState(g_params, d_params, g_opt, d_opt, rng)
+    return new_state, {
+        "loss_G": g_loss,
+        "loss_L1": l1v,
+        "loss_GAN_A2B": advv,
+        "loss_D_B": d_loss,
+    }
+
+
+# ===========================================================================
+# CycleGAN (CycTrainer.py:136-197)
+# ===========================================================================
+
+@struct.dataclass
+class CycState:
+    g_a2b_params: Params
+    g_b2a_params: Params
+    d_a_params: Params
+    d_b_params: Params
+    g_opt: Any
+    d_a_opt: Any
+    d_b_opt: Any
+    fake_a_buffer: ReplayBuffer
+    fake_b_buffer: ReplayBuffer
+    rng: jax.Array
+
+
+def init_cyc_state(g_model, d_model, key, size, input_nc=1, buffer_size=50):
+    ks = jax.random.split(key, 5)
+    a = jnp.zeros((1, size, size, input_nc))
+    tx = make_optimizer()
+    g_a2b = g_model.init(ks[0], a)
+    g_b2a = g_model.init(ks[1], a)
+    d_a = d_model.init(ks[2], a)
+    d_b = d_model.init(ks[3], a)
+    # one optimizer over both generators (itertools.chain in the reference,
+    # CycTrainer.py:74-76) -> a single opt state over the param pair
+    g_opt = tx.init((g_a2b, g_b2a))
+    return (
+        CycState(
+            g_a2b,
+            g_b2a,
+            d_a,
+            d_b,
+            g_opt,
+            tx.init(d_a),
+            tx.init(d_b),
+            ReplayBuffer.create(buffer_size, (size, size, input_nc)),
+            ReplayBuffer.create(buffer_size, (size, size, input_nc)),
+            ks[4],
+        ),
+        tx,
+    )
+
+
+def cyc_train_step(g_model, d_model, tx, cfg, state: CycState, batch, lr):
+    rng, ka, kb, kba, kbb = jax.random.split(state.rng, 5)
+    real_a = random_affine(ka, batch["A"], cfg["noise_level"])
+    real_b = random_affine(kb, batch["B"], cfg["noise_level"])
+    adv, cyc = cfg["Adv_lamda"], cfg["Cyc_lamda"]
+
+    def g_loss_fn(gs):
+        g_a2b, g_b2a = gs
+        fake_b = g_model.apply(g_a2b, real_a)
+        pred_fb = d_model.apply(state.d_b_params, fake_b)
+        loss_gan_a2b = adv * L.mse(pred_fb, _ones(pred_fb))
+
+        fake_a = g_model.apply(g_b2a, real_b)
+        pred_fa = d_model.apply(state.d_a_params, fake_a)
+        loss_gan_b2a = adv * L.mse(pred_fa, _ones(pred_fa))
+
+        recov_a = g_model.apply(g_b2a, fake_b)
+        loss_cyc_aba = cyc * L.l1(recov_a, real_a)
+        recov_b = g_model.apply(g_a2b, fake_a)
+        loss_cyc_bab = cyc * L.l1(recov_b, real_b)
+        total = loss_gan_a2b + loss_gan_b2a + loss_cyc_aba + loss_cyc_bab
+        return total, (fake_a, fake_b, loss_gan_a2b, loss_cyc_aba)
+
+    (g_loss, (fake_a, fake_b, gan_a2b, cyc_aba)), g_grads = jax.value_and_grad(
+        g_loss_fn, has_aux=True
+    )((state.g_a2b_params, state.g_b2a_params))
+    (g_a2b, g_b2a), g_opt = _apply(
+        tx, g_grads, state.g_opt, (state.g_a2b_params, state.g_b2a_params), lr
+    )
+
+    # D updates use the PRE-update fakes via the replay buffers
+    # (CycTrainer.py:170-173, 189-192)
+    buf_a, fake_a_d = push_and_pop(
+        state.fake_a_buffer, jax.lax.stop_gradient(fake_a), kba
+    )
+    buf_b, fake_b_d = push_and_pop(
+        state.fake_b_buffer, jax.lax.stop_gradient(fake_b), kbb
+    )
+
+    def d_loss_fn(dp, real, fake):
+        pr = d_model.apply(dp, real)
+        loss_real = adv * L.mse(pr, _ones(pr))
+        pf = d_model.apply(dp, fake)
+        loss_fake = adv * L.mse(pf, _zeros(pf))
+        return loss_real + loss_fake
+
+    d_a_loss, d_a_grads = jax.value_and_grad(d_loss_fn)(
+        state.d_a_params, real_a, fake_a_d
+    )
+    d_a_params, d_a_opt = _apply(tx, d_a_grads, state.d_a_opt, state.d_a_params, lr)
+    d_b_loss, d_b_grads = jax.value_and_grad(d_loss_fn)(
+        state.d_b_params, real_b, fake_b_d
+    )
+    d_b_params, d_b_opt = _apply(tx, d_b_grads, state.d_b_opt, state.d_b_params, lr)
+
+    new_state = CycState(
+        g_a2b, g_b2a, d_a_params, d_b_params, g_opt, d_a_opt, d_b_opt,
+        buf_a, buf_b, rng,
+    )
+    return new_state, {
+        "loss_G": g_loss,
+        "loss_GAN_A2B": gan_a2b,
+        "loss_cycle_ABA": cyc_aba,
+        "loss_D_A": d_a_loss,
+        "loss_D_B": d_b_loss,
+    }
+
+
+# ===========================================================================
+# RegGAN (RegTrainer.py:161-198) and HD stage 1 (HdTrainer.py:184-228)
+# ===========================================================================
+
+@struct.dataclass
+class RegState:
+    g_params: Params
+    r_params: Params
+    d_params: Params
+    g_opt: Any
+    r_opt: Any
+    d_opt: Any
+    rng: jax.Array
+
+
+def init_reg_state(g_model, r_model, d_model, key, size, input_nc=1):
+    ks = jax.random.split(key, 4)
+    a = jnp.zeros((1, size, size, input_nc))
+    tx = make_optimizer()
+    gp = g_model.init(ks[0], a)
+    rp = r_model.init(ks[1], a, a)
+    dp = d_model.init(ks[2], a)
+    return (
+        RegState(gp, rp, dp, tx.init(gp), tx.init(rp), tx.init(dp), ks[3]),
+        tx,
+    )
+
+
+def reg_train_step(
+    g_model,
+    r_model,
+    d_model,
+    tx,
+    cfg,
+    state: RegState,
+    batch,
+    lr,
+    lr_d=None,
+    dual_window_mode=False,
+    stage2=False,
+):
+    """RegGAN / HD-stage-1 / HD-stage-2 unified step.
+
+    - ``dual_window_mode`` False (RegGAN): G input = A, registration target
+      = B, simple scalar D, MSE adversarial terms.
+    - True (HD stage 1): G input = A2 (full-range), target = B2, separate D
+      lr ``lr_d``; same loss structure with {Adv,Corr}_lamda1.
+    - ``stage2``: D is multi-scale (feature-list output) with the weighted
+      GANLoss, D loss divided by D=2, plus the window-masked SR_loss2 from
+      the B1-thresholded body mask.
+    """
+    rng, k1, k2 = jax.random.split(state.rng, 3)
+    if dual_window_mode:
+        real_a = random_affine(k1, batch["A2"], cfg["noise_level"])
+        # one affine per sample pair keeps B1 (mask source) aligned with B2
+        real_b = random_affine(k2, batch["B2"], cfg["noise_level"])
+        real_b1 = random_affine(k2, batch["B1"], cfg["noise_level"])
+        adv_w = cfg["Adv_lamda1"]
+        corr_w = cfg["Corr_lamda1"]
+    else:
+        real_a = random_affine(k1, batch["A"], cfg["noise_level"])
+        real_b = random_affine(k2, batch["B"], cfg["noise_level"])
+        real_b1 = None
+        adv_w = cfg["Adv_lamda"]
+        corr_w = cfg["Corr_lamda"]
+    smooth_w = cfg["Smooth_lamda"]
+    if lr_d is None:
+        lr_d = lr
+
+    def gr_loss_fn(params):
+        gp, rp = params
+        fake_b = g_model.apply(gp, real_a)
+        flow = r_model.apply(rp, fake_b, real_b)
+        warped = warp2d(fake_b, flow)
+        sm = smooth_w * smoothing_loss(flow)
+        sr = corr_w * L.l1(warped, real_b)
+        d_out = d_model.apply(state.d_params, fake_b)
+        if stage2:
+            adv = adv_w * L.gan_loss_multiscale(d_out, True)
+        else:
+            adv = adv_w * L.mse(d_out, _ones(d_out))
+        total = sm + adv + sr
+        aux = {"SM_loss": sm, "SR_loss": sr, "adv_loss": adv}
+        if stage2:
+            sr2 = cfg["Corr_lamda2"] * L.masked_correlation_loss(
+                warped, real_b, real_b1
+            )
+            total = total + sr2
+            aux["SR_loss2"] = sr2
+        return total, aux
+
+    (gr_loss, aux), grads = jax.value_and_grad(gr_loss_fn, has_aux=True)(
+        (state.g_params, state.r_params)
+    )
+    g_grads, r_grads = grads
+    g_params, g_opt = _apply(tx, g_grads, state.g_opt, state.g_params, lr)
+    r_params, r_opt = _apply(tx, r_grads, state.r_opt, state.r_params, lr)
+
+    fake2 = jax.lax.stop_gradient(g_model.apply(g_params, real_a))
+
+    def d_loss_fn(dp):
+        pf = d_model.apply(dp, fake2)
+        pr = d_model.apply(dp, real_b)
+        if stage2:
+            return (
+                adv_w
+                * (L.gan_loss_multiscale(pf, False) + L.gan_loss_multiscale(pr, True))
+                / 2.0
+            )
+        return adv_w * L.mse(pf, _zeros(pf)) + adv_w * L.mse(pr, _ones(pr))
+
+    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+    d_params, d_opt = _apply(tx, d_grads, state.d_opt, state.d_params, lr_d)
+
+    new_state = RegState(g_params, r_params, d_params, g_opt, r_opt, d_opt, rng)
+    out = {"toal_loss": gr_loss, "loss_D_B": d_loss}
+    out.update(aux)
+    return new_state, out

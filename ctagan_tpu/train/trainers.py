@@ -1,0 +1,530 @@
+"""Trainer families: pix2pix, CycleGAN, RegGAN, CTA-GAN HD stage 1/2.
+
+Each trainer exposes the reference's surface — ``__init__(config)``,
+``train()``, ``test()`` (train.py:31-45 dispatch) — around a jitted
+functional train step (ctagan_tpu.train.steps):
+
+- epoch loop with the reference's lr schedule, including its faithful
+  accelerating-decay quirk: after ``n_epochs`` the lr drops by
+  ``current_lr / decay_epoch`` each epoch, computed from the *mutated* lr
+  (CycTrainer.py:117-126); the HD family's D lr never decays (the reference
+  writes it to a bogus optimizer key, HdTrainer.py:163-164);
+- validation every ``val_every`` epochs (masked PSNR + SSIM) with
+  metric-stamped checkpoints, plus first-class resume from the newest
+  checkpoint (the reference's resume is hand-edited code);
+- data-parallel execution over every local device via a 1-D mesh: batches
+  are sharded on the leading axis, parameters replicated, and XLA inserts
+  the ICI all-reduce (ctagan_tpu.parallel.mesh);
+- HD stage 1/2 behaviors: dual-window batches, per-epoch stochastic
+  oversampling re-draw, mid-epoch checkpoints every
+  ``checkpoint_every_iters`` (HdTrainer.py:233-240), stage-2 bootstrap from
+  stage-1 weights with the multi-scale D and masked SR_loss2.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctagan_tpu.data.datasets import DualWindowDataset, PairedSliceDataset
+from ctagan_tpu.data.loader import PrefetchLoader
+from ctagan_tpu.models import (
+    Discriminator,
+    Generator,
+    MultiScaleDiscriminator,
+    RegNet,
+)
+from ctagan_tpu.ops.metrics import masked_psnr, ssim
+from ctagan_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_batch_to,
+    shard_batch,
+)
+from ctagan_tpu.train import steps
+from ctagan_tpu.train.evaluation import DicomWriteback, aggregate, evaluate_pair
+from ctagan_tpu.utils.checkpoint import (
+    find_latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from ctagan_tpu.utils.config import Config
+from ctagan_tpu.utils.logging import TrainLogger
+
+
+def _dtype(cfg: Config):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+
+class TrainerBase:
+    """Shared machinery: mesh, schedules, loops, val, checkpoints, test."""
+
+    family: str = "base"
+    dual_window: bool = False
+
+    def __init__(self, config: Config, quiet: bool = False):
+        self.config = config
+        self.quiet = quiet
+        self.mesh = make_mesh() if config.data_parallel else make_mesh(n=1)
+        self.n_devices = len(self.mesh.devices.ravel())
+        self.lr = float(config.lr)
+        self.lr_d = float(config.lrd)
+        self.start_epoch = int(config.epoch)
+        self.key = jax.random.PRNGKey(config.seed)
+        self.g_model = Generator(
+            config.input_nc, config.output_nc, dtype=_dtype(config)
+        )
+        self._build_models()
+        self.state, self.tx = self._init_state()
+        self._step = self._compile_step()
+        self._gen_fwd = jax.jit(lambda p, a: self.g_model.apply(p, a))
+        self._build_datasets()
+        if config.resume:
+            self._try_resume()
+
+    # -- per-family hooks ---------------------------------------------------
+    def _build_models(self):
+        raise NotImplementedError
+
+    def _init_state(self):
+        raise NotImplementedError
+
+    def _compile_step(self):
+        raise NotImplementedError
+
+    def _g_params(self):
+        return self.state.g_params
+
+    def _set_g_params(self, params):
+        self.state = self.state.replace(g_params=params)
+
+    # -- data ---------------------------------------------------------------
+    def _make_train_dataset(self, rng):
+        if self.dual_window:
+            return DualWindowDataset(
+                self.config.train_list,
+                oversample=True,
+                rng=rng,
+                size=self.config.size,
+            )
+        return PairedSliceDataset(self.config.train_list, size=self.config.size)
+
+    def _make_eval_dataset(self, list_file):
+        if self.dual_window:
+            return DualWindowDataset(list_file, size=self.config.size)
+        return PairedSliceDataset(list_file, size=self.config.size)
+
+    def _build_datasets(self):
+        cfg = self.config
+        self._data_rng = np.random.default_rng(cfg.seed)
+        self.val_dataset = self._make_eval_dataset(cfg.val_list)
+        self.test_dataset = self._make_eval_dataset(cfg.test_list)
+
+    def _train_loader(self):
+        ds = self._make_train_dataset(self._data_rng)
+        return PrefetchLoader(
+            ds,
+            batch_size=self.config.batchSize * self.n_devices,
+            shuffle=True,
+            drop_last=True,
+            num_threads=self.config.n_cpu,
+            rng=self._data_rng,
+        )
+
+    # -- schedule -----------------------------------------------------------
+    def update_learning_rate(self):
+        """Faithful reference decay (accelerating; D lr frozen for HD)."""
+        lrd_step = self.lr / self.config.decay_epoch
+        new_lr = self.lr - lrd_step
+        if not self.quiet:
+            print(f"update learning rate: {self.lr:f} -> {new_lr:f}")
+        self.lr = new_lr
+        if self.family not in ("hd1", "hd2"):
+            self.lr_d = new_lr
+
+    # -- checkpoint/resume --------------------------------------------------
+    @property
+    def ckpt_prefix(self):
+        return f"{self.config.name}_{self.family}"
+
+    def _save(self, epoch, psnr=None, ssim_v=None):
+        payload = {
+            "state": jax.device_get(self.state),
+            "epoch": epoch,
+            "lr": self.lr,
+            "lr_d": self.lr_d,
+        }
+        return save_checkpoint(
+            self.config.save_root, self.ckpt_prefix, epoch, payload, psnr, ssim_v
+        )
+
+    def _try_resume(self):
+        found = find_latest_checkpoint(self.config.save_root, self.ckpt_prefix)
+        if not found:
+            return
+        path, epoch = found
+        target = {
+            "state": jax.device_get(self.state),
+            "epoch": 0,
+            "lr": 0.0,
+            "lr_d": 0.0,
+        }
+        payload = load_checkpoint(path, target)
+        self.state = jax.device_put(payload["state"])
+        self.start_epoch = int(payload["epoch"])
+        self.lr = float(payload["lr"])
+        self.lr_d = float(payload["lr_d"])
+        if not self.quiet:
+            print(f"resumed from {path} (epoch {self.start_epoch})")
+
+    def load_generator(self, path: str):
+        target = {
+            "state": jax.device_get(self.state),
+            "epoch": 0,
+            "lr": 0.0,
+            "lr_d": 0.0,
+        }
+        payload = load_checkpoint(path, target)
+        self._set_g_params(jax.device_put(payload["state"].g_params))
+
+    # -- loops --------------------------------------------------------------
+    def _device_batch(self, batch):
+        target = self.config.batchSize * self.n_devices
+        batch, _ = pad_batch_to(batch, target)
+        return shard_batch(self.mesh, batch)
+
+    def train(self, max_steps_per_epoch: Optional[int] = None):
+        cfg = self.config
+        loader = self._train_loader()
+        logger = TrainLogger(
+            cfg.name,
+            cfg.total_epochs,
+            len(loader),
+            log_dir=cfg.save_root,
+            log_every=cfg.log_every,
+            quiet=self.quiet,
+        )
+        for epoch in range(self.start_epoch + 1, cfg.total_epochs + 1):
+            if epoch > cfg.n_epochs:
+                self.update_learning_rate()
+            if self.dual_window:
+                loader = self._train_loader()  # per-epoch oversampling redraw
+                logger.set_epoch_size(len(loader))
+            for i, batch in enumerate(loader):
+                if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                    logger.epoch += 1
+                    logger.batch = 1
+                    break
+                db = self._device_batch(batch)
+                self.state, losses = self._step(
+                    self.state, db, jnp.float32(self.lr), jnp.float32(self.lr_d)
+                )
+                logger.log({k: v for k, v in losses.items()})
+                if (i + 1) % cfg.checkpoint_every_iters == 0:
+                    self._save(epoch)
+            if epoch % cfg.val_every == 0:
+                psnr_v, ssim_v = self.validate()
+                if not self.quiet:
+                    print(f"PSNR: {psnr_v}\nSSIM: {ssim_v}")
+                self._save(epoch, psnr_v, ssim_v)
+            else:
+                self._save(epoch)
+        return self
+
+    def _val_pairs(self, batch):
+        if self.dual_window:
+            return batch["A2"], batch["B2"]
+        return batch["A"], batch["B"]
+
+    def validate(self):
+        loader = PrefetchLoader(
+            self.val_dataset, batch_size=1, num_threads=self.config.n_cpu
+        )
+        psnr_sum = ssim_sum = 0.0
+        num = 0
+        gp = self._g_params()
+        for batch in loader:
+            a, b = self._val_pairs(batch)
+            fake = self._gen_fwd(gp, jnp.asarray(a))
+            fb = np.asarray(fake)[0, :, :, 0]
+            rb = np.asarray(b)[0, :, :, 0]
+            psnr_sum += float(masked_psnr(fb, rb))
+            ssim_sum += float(ssim(fb, rb))
+            num += 1
+        if num == 0:
+            return 0.0, 0.0
+        return psnr_sum / num, ssim_sum / num
+
+    def test(self, write_dicom: bool = True):
+        cfg = self.config
+        if cfg.generator_ckpt:
+            self.load_generator(cfg.generator_ckpt)
+        elif cfg.resume is False:
+            found = find_latest_checkpoint(cfg.save_root, self.ckpt_prefix)
+            if found:
+                self.load_generator(found[0])
+        loader = PrefetchLoader(
+            self.test_dataset, batch_size=1, num_threads=cfg.n_cpu
+        )
+        writeback = DicomWriteback(cfg.image_save) if write_dicom else None
+        rows = []
+        gp = self._g_params()
+        from ctagan_tpu.data.dicom import read_dicom as _rd
+
+        for batch in loader:
+            a, b = self._val_pairs(batch)
+            fake = np.asarray(self._gen_fwd(gp, jnp.asarray(a)))[0, :, :, 0]
+            real = np.asarray(b)[0, :, :, 0]
+            a_path = batch["A_path"][0]
+            ds1 = _rd(a_path.replace("SE0", "SE1"))
+            wc = ds1.window_center or 50.0
+            ww = ds1.window_width or 400.0
+            rows.append(evaluate_pair(fake, real, wc, ww))
+            if writeback is not None:
+                writeback.write(a_path, fake)
+        agg = aggregate(rows)
+        if not self.quiet:
+            for k in ("MAEw", "PSNRw", "SSIMw", "UQIw"):
+                if k in agg:
+                    print(f"{k}: {agg[k]}")
+            print()
+            for k in ("MAE", "PSNR", "SSIM", "UQI"):
+                if k in agg:
+                    print(f"{k}: {agg[k]}")
+        return agg
+
+
+# ===========================================================================
+
+
+class P2pTrainer(TrainerBase):
+    family = "p2p"
+
+    def _build_models(self):
+        cfg = self.config
+        self.d_model = Discriminator(
+            cfg.input_nc + cfg.output_nc, dtype=_dtype(cfg)
+        )
+
+    def _init_state(self):
+        self.key, k = jax.random.split(self.key)
+        return steps.init_p2p_state(
+            self.g_model,
+            self.d_model,
+            k,
+            self.config.size,
+            self.config.input_nc,
+            self.config.output_nc,
+        )
+
+    def _compile_step(self):
+        cfg = {
+            "P2P_lamda": self.config.P2P_lamda,
+            "Adv_lamda": self.config.Adv_lamda,
+            "noise_level": self.config.noise_level,
+        }
+        fn = partial(steps.p2p_train_step, self.g_model, self.d_model, self.tx, cfg)
+
+        @jax.jit
+        def step(state, batch, lr, lr_d):
+            return fn(state, batch, lr)
+
+        return step
+
+
+class CycTrainer(TrainerBase):
+    family = "cyc"
+
+    def _build_models(self):
+        self.d_model = Discriminator(self.config.input_nc, dtype=_dtype(self.config))
+
+    def _init_state(self):
+        self.key, k = jax.random.split(self.key)
+        return steps.init_cyc_state(
+            self.g_model, self.d_model, k, self.config.size, self.config.input_nc
+        )
+
+    def _compile_step(self):
+        cfg = {
+            "Adv_lamda": self.config.Adv_lamda,
+            "Cyc_lamda": self.config.Cyc_lamda,
+            "noise_level": self.config.noise_level,
+        }
+        fn = partial(steps.cyc_train_step, self.g_model, self.d_model, self.tx, cfg)
+
+        @jax.jit
+        def step(state, batch, lr, lr_d):
+            return fn(state, batch, lr)
+
+        return step
+
+    def _g_params(self):
+        return self.state.g_a2b_params
+
+    def _set_g_params(self, params):
+        self.state = self.state.replace(g_a2b_params=params)
+
+
+class RegTrainer(TrainerBase):
+    family = "reg"
+
+    def _build_models(self):
+        cfg = self.config
+        self.r_model = RegNet(cfg.input_nc, cfg.input_nc, dtype=_dtype(cfg))
+        self.d_model = Discriminator(cfg.input_nc, dtype=_dtype(cfg))
+
+    def _init_state(self):
+        self.key, k = jax.random.split(self.key)
+        return steps.init_reg_state(
+            self.g_model,
+            self.r_model,
+            self.d_model,
+            k,
+            self.config.size,
+            self.config.input_nc,
+        )
+
+    def _step_cfg(self):
+        c = self.config
+        return {
+            "Adv_lamda": c.Adv_lamda,
+            "Corr_lamda": c.Corr_lamda,
+            "Smooth_lamda": c.Smooth_lamda,
+            "Adv_lamda1": c.Adv_lamda1,
+            "Corr_lamda1": c.Corr_lamda1,
+            "Corr_lamda2": c.Corr_lamda2,
+            "noise_level": c.noise_level,
+        }
+
+    def _compile_step(self):
+        fn = partial(
+            steps.reg_train_step,
+            self.g_model,
+            self.r_model,
+            self.d_model,
+            self.tx,
+            self._step_cfg(),
+        )
+
+        @jax.jit
+        def step(state, batch, lr, lr_d):
+            return fn(state, batch, lr)
+
+        return step
+
+
+class HdTrainerStage1(RegTrainer):
+    """CTA-GAN stage 1: RegGAN losses on dual-window data, separate D lr,
+    45 epochs full-image (HdTrainer.py:94-281)."""
+
+    family = "hd1"
+    dual_window = True
+
+    def _compile_step(self):
+        fn = partial(
+            steps.reg_train_step,
+            self.g_model,
+            self.r_model,
+            self.d_model,
+            self.tx,
+            self._step_cfg(),
+        )
+
+        @jax.jit
+        def step(state, batch, lr, lr_d):
+            return fn(state, batch, lr, lr_d=lr_d, dual_window_mode=True)
+
+        return step
+
+
+class HdTrainerStage2(RegTrainer):
+    """CTA-GAN stage 2 fine-tune: multi-scale D (center-crop pyramid,
+    w=[1.8, 0.2]), window-masked SR_loss2, bootstrapped from stage-1 weights
+    (HdTrainer.py:605-803)."""
+
+    family = "hd2"
+    dual_window = True
+
+    def _build_models(self):
+        cfg = self.config
+        self.r_model = RegNet(cfg.input_nc, cfg.input_nc, dtype=_dtype(cfg))
+        self.d_model = MultiScaleDiscriminator(
+            cfg.input_nc, num_d=1, dtype=_dtype(cfg)
+        )
+
+    def _compile_step(self):
+        fn = partial(
+            steps.reg_train_step,
+            self.g_model,
+            self.r_model,
+            self.d_model,
+            self.tx,
+            self._step_cfg(),
+        )
+
+        @jax.jit
+        def step(state, batch, lr, lr_d):
+            return fn(
+                state, batch, lr, lr_d=lr_d, dual_window_mode=True, stage2=True
+            )
+
+        return step
+
+    def bootstrap_from_stage1(self, path: Optional[str] = None):
+        """Load G and R from a stage-1 checkpoint (HdTrainer.py:697-699)."""
+        path = path or self.config.stage1_ckpt
+        if not path:
+            found = find_latest_checkpoint(
+                self.config.save_root, f"{self.config.name}_hd1"
+            )
+            if not found:
+                raise FileNotFoundError(
+                    "no stage-1 checkpoint found; set stage1_ckpt"
+                )
+            path = found[0]
+        target = {
+            "state": jax.device_get(self.state),
+            "epoch": 0,
+            "lr": 0.0,
+            "lr_d": 0.0,
+        }
+        # stage-1 state has a scalar-D param tree; restore G and R only
+        import flax.serialization as ser
+
+        with open(path, "rb") as f:
+            raw = ser.msgpack_restore(f.read())
+        st = raw["state"]
+        g_params = ser.from_state_dict(
+            jax.device_get(self.state.g_params), st["g_params"]
+        )
+        r_params = ser.from_state_dict(
+            jax.device_get(self.state.r_params), st["r_params"]
+        )
+        self.state = self.state.replace(
+            g_params=jax.device_put(g_params), r_params=jax.device_put(r_params)
+        )
+        return self
+
+
+TRAINERS = {
+    "P2p": P2pTrainer,
+    "CycleGan": CycTrainer,
+    "RegGan": RegTrainer,
+    "HdGan": HdTrainerStage1,
+    "HdGan2": HdTrainerStage2,
+}
+
+
+def build_trainer(config: Config, quiet: bool = False) -> TrainerBase:
+    """Name-dispatch matching the reference entry point (train.py:38-44),
+    plus explicit stage selection for the HD family."""
+    name = config.name
+    if name not in TRAINERS:
+        raise KeyError(f"unknown trainer '{name}' (have {sorted(TRAINERS)})")
+    return TRAINERS[name](config, quiet=quiet)

@@ -1,0 +1,68 @@
+"""Checkpointing: metric-stamped, resumable, dependency-light.
+
+The reference saves one ``torch.save(state_dict)`` per network per epoch
+with filenames embedding epoch + val PSNR/SSIM every 5th epoch
+(CycTrainer.py:221-236) and resumes only by hand-editing code. Here a
+checkpoint is a single msgpack file (flax.serialization) holding every
+network's params, optimizer states, epoch, lr and val metrics — with the
+same metric-stamped naming scheme plus a first-class "find newest and
+resume" path.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+from flax import serialization
+
+_CKPT_RE = re.compile(r"^(?P<prefix>.+?)_e(?P<epoch>\d+)(?:_(?P<metrics>[-\d._]+))?\.ckpt$")
+
+
+def checkpoint_name(
+    prefix: str, epoch: int, psnr: Optional[float] = None, ssim: Optional[float] = None
+) -> str:
+    """``<prefix>_e<epoch>[_<psnr>_<ssim>].ckpt`` — the reference's
+    metric-stamped naming (e.g. ``netG_A2B_45_32.6358_0.939.pth``)."""
+    if psnr is not None and ssim is not None:
+        return f"{prefix}_e{epoch}_{round(psnr, 4)}_{round(ssim, 4)}.ckpt"
+    return f"{prefix}_e{epoch}.ckpt"
+
+
+def save_checkpoint(
+    save_root: str,
+    prefix: str,
+    epoch: int,
+    state: Any,
+    psnr: Optional[float] = None,
+    ssim: Optional[float] = None,
+) -> str:
+    os.makedirs(save_root, exist_ok=True)
+    path = os.path.join(save_root, checkpoint_name(prefix, epoch, psnr, ssim))
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(state))
+    return path
+
+
+def load_checkpoint(path: str, target: Any) -> Any:
+    """Restore into a pytree of the same structure (``target`` provides the
+    treedef and shapes/dtypes)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return serialization.from_bytes(target, data)
+
+
+def find_latest_checkpoint(
+    save_root: str, prefix: str
+) -> Optional[Tuple[str, int]]:
+    """Newest checkpoint (by epoch) for a prefix; returns (path, epoch)."""
+    if not os.path.isdir(save_root):
+        return None
+    best: Optional[Tuple[str, int]] = None
+    for fn in os.listdir(save_root):
+        m = _CKPT_RE.match(fn)
+        if m and m.group("prefix") == prefix:
+            ep = int(m.group("epoch"))
+            if best is None or ep > best[1]:
+                best = (os.path.join(save_root, fn), ep)
+    return best

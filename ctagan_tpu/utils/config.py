@@ -1,0 +1,97 @@
+"""Typed configuration with reference-YAML key compatibility.
+
+The reference drives everything from a flat, schema-less YAML dict
+(train.py:18-20, Yaml/*.yaml) that trainers mutate at runtime. Here the same
+YAML files load into a validated dataclass; every reference key keeps its
+exact name (including the ``Adv_lamda`` spellings) so existing configs work
+unchanged, and new TPU-specific knobs get defaults.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import yaml
+
+
+@dataclass
+class Config:
+    # --- identity / dispatch (Yaml/*.yaml) ---
+    name: str = "P2p"
+    noise_level: int = 1
+    port: int = 8097  # kept for config-compat; visdom is replaced by CSV logs
+    save_root: str = "./output/model/"
+    image_save: str = "./output/img/"
+
+    # --- loss weights ---
+    Adv_lamda: float = 1.0
+    Cyc_lamda: float = 10.0
+    Corr_lamda: float = 20.0
+    Smooth_lamda: float = 10.0
+    P2P_lamda: float = 100.0
+    Adv_lamda1: float = 1.0
+    Adv_lamda2: float = 0.1
+    Corr_lamda1: float = 20.0
+    Corr_lamda2: float = 2.0
+
+    # --- schedule ---
+    epoch: int = 0  # starting epoch
+    n_epochs: int = 60
+    decay_epoch: int = 20
+    lr: float = 1e-4
+    lrd: float = 1e-4  # discriminator lr (HD family)
+    batchSize: int = 1
+
+    # --- data ---
+    train_list: str = "./data/train.txt"
+    val_list: str = "./data/val.txt"
+    test_list: str = "./data/test.txt"
+    size: int = 512
+    input_nc: int = 1
+    output_nc: int = 1
+    n_cpu: int = 4
+
+    # --- platform (reference: 'cuda'; kept, ignored on TPU) ---
+    cuda: bool = True
+
+    # --- TPU-native knobs (new) ---
+    seed: int = 42
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    data_parallel: bool = True  # shard batch over all local devices
+    val_every: int = 5  # epochs between validations (reference: hardcoded 5)
+    log_every: int = 50  # steps between stdout log lines
+    checkpoint_every_iters: int = 40000  # HD mid-epoch checkpoint cadence
+    resume: bool = False  # resume from newest checkpoint in save_root
+    generator_ckpt: str = ""  # explicit checkpoint for test()
+    stage1_ckpt: str = ""  # HD stage-2 bootstrap (netG/R from stage 1)
+
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def total_epochs(self) -> int:
+        return self.n_epochs + self.decay_epoch
+
+    def validate(self):
+        if self.size % 4 != 0:
+            raise ValueError("size must be divisible by 4 (generator strides)")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown compute_dtype {self.compute_dtype}")
+        if self.batchSize < 1:
+            raise ValueError("batchSize must be >= 1")
+        return self
+
+
+def load_config(path_or_dict) -> Config:
+    """Load a reference-style YAML (or dict) into a Config."""
+    if isinstance(path_or_dict, dict):
+        raw = dict(path_or_dict)
+    else:
+        with open(path_or_dict) as f:
+            raw = yaml.safe_load(f) or {}
+    known = {f.name for f in dataclasses.fields(Config)}
+    kwargs = {k: v for k, v in raw.items() if k in known}
+    extras = {k: v for k, v in raw.items() if k not in known}
+    cfg = Config(**kwargs)
+    cfg.extras = extras
+    return cfg.validate()

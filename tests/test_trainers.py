@@ -1,0 +1,162 @@
+"""End-to-end trainer tests: 1-epoch train + val + test per family at small
+sizes on the CPU mesh (the reference has no tests at all; SURVEY.md §4)."""
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from ctagan_tpu.data.fixtures import make_corpus
+from ctagan_tpu.train import (
+    CycTrainer,
+    HdTrainerStage1,
+    HdTrainerStage2,
+    P2pTrainer,
+    RegTrainer,
+    build_trainer,
+)
+from ctagan_tpu.utils.config import Config, load_config
+
+
+def _config(tmp_path, lists, name="P2p", size=64, **kw):
+    base = dict(
+        name=name,
+        save_root=str(tmp_path / "model") + "/",
+        image_save=str(tmp_path / "img") + "/",
+        train_list=lists["train"],
+        val_list=lists["val"],
+        test_list=lists["test"],
+        size=size,
+        n_epochs=1,
+        decay_epoch=1,
+        batchSize=1,
+        n_cpu=2,
+        val_every=1,
+        data_parallel=False,
+        seed=0,
+    )
+    base.update(kw)
+    return load_config(base)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    return make_corpus(str(root), n_patients=2, slices_per_patient=2, size=32)
+
+
+def _losses_finite(trainer):
+    leaves = jax.tree.leaves(jax.device_get(trainer.state))
+    assert all(np.all(np.isfinite(x)) for x in leaves if np.asarray(x).dtype.kind == "f")
+
+
+def test_p2p_end_to_end(tmp_path, corpus):
+    cfg = _config(tmp_path, corpus, name="P2p", size=64)
+    t = P2pTrainer(cfg, quiet=True)
+    t.train()
+    _losses_finite(t)
+    # checkpoints written each epoch, metric-stamped on val epochs
+    ckpts = os.listdir(cfg.save_root)
+    assert any(f.startswith("P2p_p2p_e") for f in ckpts)
+    agg = t.test()
+    for k in ("MAEw", "PSNRw", "SSIMw", "UQIw", "MAE", "PSNR", "SSIM", "UQI"):
+        assert k in agg and np.isfinite(agg[k])
+    # DICOM writeback produced the SE0/SE1/SE2 layout
+    assert os.path.isdir(os.path.join(cfg.image_save, "ST1", "1", "SE2"))
+    se2 = os.listdir(os.path.join(cfg.image_save, "ST1", "1", "SE2"))
+    assert len(se2) >= 1
+    from ctagan_tpu.data.dicom import read_dicom
+
+    ds = read_dicom(os.path.join(cfg.image_save, "ST1", "1", "SE2", se2[0]))
+    assert ds.pixel_array().shape == (64, 64)
+
+
+def test_p2p_lr_decay_accelerating_quirk(tmp_path, corpus):
+    cfg = _config(tmp_path, corpus, name="P2p", n_epochs=0, decay_epoch=4)
+    t = P2pTrainer(cfg, quiet=True)
+    lrs = [t.lr]
+    for _ in range(3):
+        t.update_learning_rate()
+        lrs.append(t.lr)
+    # faithful accelerating decay: lr_{k+1} = lr_k * (1 - 1/decay_epoch)
+    for a, b in zip(lrs, lrs[1:]):
+        np.testing.assert_allclose(b, a * 0.75, rtol=1e-6)
+
+
+def test_p2p_resume_roundtrip(tmp_path, corpus):
+    cfg = _config(tmp_path, corpus, name="P2p")
+    t = P2pTrainer(cfg, quiet=True)
+    t.train(max_steps_per_epoch=1)
+    g_before = jax.device_get(t.state.g_params)
+
+    cfg2 = _config(tmp_path, corpus, name="P2p", resume=True)
+    t2 = P2pTrainer(cfg2, quiet=True)
+    assert t2.start_epoch >= 1
+    g_after = jax.device_get(t2.state.g_params)
+    for a, b in zip(jax.tree.leaves(g_before), jax.tree.leaves(g_after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cyclegan_one_epoch(tmp_path, corpus):
+    cfg = _config(tmp_path, corpus, name="CycleGan", size=64)
+    t = CycTrainer(cfg, quiet=True)
+    t.train(max_steps_per_epoch=2)
+    _losses_finite(t)
+    # replay buffers actually filled
+    assert int(jax.device_get(t.state.fake_b_buffer.size)) >= 1
+    psnr, ssim = t.validate()
+    assert np.isfinite(psnr) and -1 <= ssim <= 1
+
+
+def test_reggan_one_epoch(tmp_path, corpus):
+    cfg = _config(tmp_path, corpus, name="RegGan", size=128)
+    t = RegTrainer(cfg, quiet=True)
+    t.train(max_steps_per_epoch=2)
+    _losses_finite(t)
+
+
+def test_hd_stage1_then_stage2(tmp_path, corpus):
+    cfg = _config(tmp_path, corpus, name="HdGan", size=128)
+    t1 = HdTrainerStage1(cfg, quiet=True)
+    t1.train(max_steps_per_epoch=2)
+    _losses_finite(t1)
+    # stage-1 D lr never decays (faithful reference quirk)
+    lr_d0 = t1.lr_d
+    t1.update_learning_rate()
+    assert t1.lr_d == lr_d0 and t1.lr < 1e-4
+
+    cfg2 = _config(tmp_path, corpus, name="HdGan2", size=128)
+    t2 = HdTrainerStage2(cfg2, quiet=True)
+    t2.bootstrap_from_stage1(
+        __import__("ctagan_tpu.utils.checkpoint", fromlist=["find_latest_checkpoint"])
+        .find_latest_checkpoint(cfg.save_root, "HdGan_hd1")[0]
+    )
+    # bootstrapped G == stage-1 G
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(t1.state.g_params)),
+        jax.tree.leaves(jax.device_get(t2.state.g_params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    t2.train(max_steps_per_epoch=1)
+    _losses_finite(t2)
+    agg = t2.test(write_dicom=False)
+    assert np.isfinite(agg["PSNRw"])
+
+
+def test_data_parallel_p2p_on_8_devices(tmp_path, corpus):
+    assert len(jax.devices()) == 8
+    cfg = _config(
+        tmp_path, corpus, name="P2p", size=64, data_parallel=True, batchSize=1
+    )
+    t = P2pTrainer(cfg, quiet=True)
+    assert t.n_devices == 8
+    t.train(max_steps_per_epoch=1)  # global batch 8, sharded over the mesh
+    _losses_finite(t)
+
+
+def test_build_trainer_dispatch(tmp_path, corpus):
+    for name, cls in [("P2p", P2pTrainer), ("CycleGan", CycTrainer)]:
+        cfg = _config(tmp_path, corpus, name=name)
+        assert isinstance(build_trainer(cfg, quiet=True), cls)
+    with pytest.raises(KeyError):
+        build_trainer(_config(tmp_path, corpus, name="P2p").validate().__class__(name="nope"))

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""CLI entry point: config-driven trainer dispatch.
+
+TPU-native counterpart of the reference's train.py (reference train.py:31-45):
+``python train.py --config configs/HdGan.yaml [--mode train|test|train_test]``.
+Unlike the reference (which comments/uncomments ``trainer.train()`` by hand
+and needs manual class renames for the HD stages), the mode is a flag and
+every documented trainer name dispatches cleanly; HD stage 2 bootstraps from
+the newest stage-1 checkpoint automatically.
+"""
+from __future__ import annotations
+
+import argparse
+import random
+
+import numpy as np
+
+
+def seed_everything(seed: int):
+    random.seed(seed)
+    np.random.seed(seed)
+    # device-side randomness is fully controlled by explicit jax PRNG keys
+    # derived from config.seed (no global torch/cudnn state to pin).
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--config", type=str, default="configs/HdGan.yaml",
+        help="Path to the config file.",
+    )
+    parser.add_argument(
+        "--mode", type=str, default="test",
+        choices=["train", "test", "train_test"],
+        help="What to run (the reference hardcodes test; train by editing).",
+    )
+    parser.add_argument(
+        "--max-steps", type=int, default=None,
+        help="Optional cap on train steps per epoch (smoke runs).",
+    )
+    opts = parser.parse_args()
+
+    from ctagan_tpu.train import build_trainer
+    from ctagan_tpu.utils.config import load_config
+
+    config = load_config(opts.config)
+    seed_everything(config.seed)
+    trainer = build_trainer(config)
+    if config.name == "HdGan2":
+        try:
+            trainer.bootstrap_from_stage1()
+        except FileNotFoundError:
+            print("warning: no stage-1 checkpoint found; training from scratch")
+
+    if opts.mode in ("train", "train_test"):
+        trainer.train(max_steps_per_epoch=opts.max_steps)
+    if opts.mode in ("test", "train_test"):
+        trainer.test()
+
+
+if __name__ == "__main__":
+    main()
