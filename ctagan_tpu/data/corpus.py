@@ -1,0 +1,227 @@
+"""Offline corpus construction: walk a hospital DICOM tree into list files.
+
+Rebuilds the reference's data-engineering layer (data/data_process.py:15-505)
+on the in-repo DICOM codec:
+
+- walk ``root/<patient>/ST*/{SE0,SE1}/IM*`` pairing NCCT (SE0) with CTA
+  (SE1);
+- repair swapped series using the SeriesDescription contrast marker: the
+  CTA series carries "C+" (data_process.py:89-98) — if SE0 looks contrasted
+  and SE1 doesn't, the pair is swapped in place;
+- integrity filters (data_process.py:80-101): RescaleIntercept must be
+  -1024, paired slices must agree on AccessionNumber and SliceLocation;
+- patient-level de-dup by PatientID and a 60/20/20 patient split into
+  train/val/test list files (data_process.py:104-109);
+- demographics / vendor statistics and per-manufacturer test lists
+  (``statistic`` data_process.py:389-456, ``make_equip_split`` :459-505).
+
+The ANTs 3-D deformable registration stage of the reference
+(data_process.py:523-653) is wrapped in ``ctagan_tpu.data.registration``.
+"""
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ctagan_tpu.data.dicom import read_dicom
+
+
+@dataclass
+class CorpusStats:
+    patients: int = 0
+    slices: int = 0
+    rejected_intercept: int = 0
+    rejected_accession: int = 0
+    rejected_location: int = 0
+    swapped_pairs: int = 0
+    by_manufacturer: Dict[str, int] = field(default_factory=dict)
+    by_sex: Dict[str, int] = field(default_factory=dict)
+    ages: List[int] = field(default_factory=list)
+
+
+def _is_contrast(desc: str) -> bool:
+    return "C+" in desc
+
+
+def _slice_paths(series_dir: str) -> List[str]:
+    if not os.path.isdir(series_dir):
+        return []
+    return sorted(
+        os.path.join(series_dir, f)
+        for f in os.listdir(series_dir)
+        if f.startswith("IM")
+    )
+
+
+def collect_pairs(
+    root: str, stats: Optional[CorpusStats] = None
+) -> Dict[str, List[str]]:
+    """Scan the tree; returns {patient_id: [valid SE0 slice paths]}.
+
+    Applies the reference's pair-repair and integrity filters per slice.
+    """
+    stats = stats if stats is not None else CorpusStats()
+    by_patient: Dict[str, List[str]] = {}
+    for patient_dir in sorted(os.listdir(root)):
+        pdir = os.path.join(root, patient_dir)
+        if not os.path.isdir(pdir):
+            continue
+        for st in sorted(os.listdir(pdir)):
+            se0_dir = os.path.join(pdir, st, "SE0")
+            se1_dir = os.path.join(pdir, st, "SE1")
+            slices0 = _slice_paths(se0_dir)
+            if not slices0:
+                continue
+            kept: List[str] = []
+            patient_id = None
+            for p0 in slices0:
+                p1 = p0.replace("SE0", "SE1")
+                if not os.path.exists(p1):
+                    continue
+                try:
+                    ds0 = read_dicom(p0)
+                    ds1 = read_dicom(p1)
+                except Exception:
+                    continue
+                # swapped-series repair: CTA ("C+") should live in SE1
+                if _is_contrast(ds0.series_description) and not _is_contrast(
+                    ds1.series_description
+                ):
+                    ds0, ds1 = ds1, ds0
+                    stats.swapped_pairs += 1
+                if ds0.rescale_intercept != -1024.0:
+                    stats.rejected_intercept += 1
+                    continue
+                if ds0.accession_number != ds1.accession_number:
+                    stats.rejected_accession += 1
+                    continue
+                if ds0.slice_location != ds1.slice_location:
+                    stats.rejected_location += 1
+                    continue
+                patient_id = patient_id or ds0.patient_id or patient_dir
+                kept.append(p0)
+                manu = (ds0.get_str((0x0008, 0x0070)) or "UNKNOWN").split()[0]
+                stats.by_manufacturer[manu] = stats.by_manufacturer.get(manu, 0) + 1
+                sex = ds0.get_str((0x0010, 0x0040)) or "?"
+                stats.by_sex[sex] = stats.by_sex.get(sex, 0) + 1
+                age = ds0.get_str((0x0010, 0x1010)) or ""
+                if age and age[:-1].isdigit():
+                    stats.ages.append(int(age[:-1]))
+            if kept and patient_id:
+                # patient-level de-dup: first occurrence wins
+                if patient_id not in by_patient:
+                    by_patient[patient_id] = kept
+                    stats.patients += 1
+                stats.slices += len(kept)
+    return by_patient
+
+
+def patient_split(
+    by_patient: Dict[str, List[str]],
+    fractions: Tuple[float, float, float] = (0.6, 0.2, 0.2),
+    seed: int = 0,
+) -> Tuple[List[str], List[str], List[str]]:
+    """60/20/20 split at PATIENT granularity (never split a patient across
+    sets — data_process.py:104-109)."""
+    rng = np.random.default_rng(seed)
+    pids = sorted(by_patient)
+    rng.shuffle(pids)
+    n = len(pids)
+    n_train = int(n * fractions[0])
+    n_val = int(n * fractions[1])
+    groups = (
+        pids[:n_train],
+        pids[n_train : n_train + n_val],
+        pids[n_train + n_val :],
+    )
+    return tuple([p for pid in g for p in by_patient[pid]] for g in groups)  # type: ignore[return-value]
+
+
+def build_lists(
+    root: str,
+    out_dir: str,
+    seed: int = 0,
+    prefix: str = "",
+) -> Dict[str, str]:
+    """End-to-end corpus build: scan, filter, split, write
+    {train,val,test}.txt; returns the list paths + prints stats."""
+    stats = CorpusStats()
+    by_patient = collect_pairs(root, stats)
+    train, val, test = patient_split(by_patient, seed=seed)
+    os.makedirs(out_dir, exist_ok=True)
+    out = {}
+    for name, paths in (("train", train), ("val", val), ("test", test)):
+        lp = os.path.join(out_dir, f"{prefix}{name}.txt")
+        with open(lp, "w") as f:
+            f.write("\n".join(paths) + ("\n" if paths else ""))
+        out[name] = lp
+    print(
+        f"corpus: {stats.patients} patients, {stats.slices} slices "
+        f"(train {len(train)} / val {len(val)} / test {len(test)}); "
+        f"rejected: intercept {stats.rejected_intercept}, "
+        f"accession {stats.rejected_accession}, "
+        f"location {stats.rejected_location}; swapped {stats.swapped_pairs}"
+    )
+    return out
+
+
+def statistic(list_file: str) -> CorpusStats:
+    """Demographics + vendor stats over a list file (data_process.py:389-456)."""
+    stats = CorpusStats()
+    seen = set()
+    with open(list_file) as f:
+        for line in f:
+            p = line.strip()
+            if not p:
+                continue
+            ds = read_dicom(p)
+            stats.slices += 1
+            pid = ds.patient_id
+            if pid not in seen:
+                seen.add(pid)
+                stats.patients += 1
+                sex = ds.get_str((0x0010, 0x0040)) or "?"
+                stats.by_sex[sex] = stats.by_sex.get(sex, 0) + 1
+                age = ds.get_str((0x0010, 0x1010)) or ""
+                if age and age[:-1].isdigit():
+                    stats.ages.append(int(age[:-1]))
+            manu = (ds.get_str((0x0008, 0x0070)) or "UNKNOWN").split()[0]
+            stats.by_manufacturer[manu] = stats.by_manufacturer.get(manu, 0) + 1
+    return stats
+
+
+def make_equip_split(list_file: str, out_dir: str) -> Dict[str, str]:
+    """Per-manufacturer (GE/SIEMENS/Philips/...) test lists
+    (data_process.py:459-505)."""
+    groups: Dict[str, List[str]] = defaultdict(list)
+    with open(list_file) as f:
+        for line in f:
+            p = line.strip()
+            if not p:
+                continue
+            ds = read_dicom(p)
+            manu = (ds.get_str((0x0008, 0x0070)) or "UNKNOWN").split()[0].upper()
+            groups[manu].append(p)
+    os.makedirs(out_dir, exist_ok=True)
+    out = {}
+    for manu, paths in groups.items():
+        lp = os.path.join(out_dir, f"test_{manu.lower()}.txt")
+        with open(lp, "w") as f:
+            f.write("\n".join(paths) + "\n")
+        out[manu] = lp
+    return out
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Build corpus list files")
+    ap.add_argument("root", help="DICOM tree root (patient/ST*/SE* layout)")
+    ap.add_argument("--out", default="./data", help="output dir for lists")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    build_lists(args.root, args.out, seed=args.seed)

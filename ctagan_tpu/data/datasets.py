@@ -49,35 +49,23 @@ def _resize_nearest_np(img: np.ndarray, size: int) -> np.ndarray:
 
 def read_fullrange_slice(path: str) -> np.ndarray:
     """Stored pixels -> full-range [-1, 1] (datasets.py:74-82): clamp
-    negatives, /4095, center."""
+    negatives, /4095, center. Uses the native (C++) fused kernel when
+    available (ctagan_tpu.data.native), numpy otherwise."""
+    from ctagan_tpu.data.native import fullrange_native
+
     ds = read_dicom(path)
-    img = ds.pixel_array().astype(np.float32)
-    img[img < 0] = 0
-    img = img / 4095.0
-    return ((img - 0.5) / 0.5).astype(np.float32)
+    return fullrange_native(ds.pixel_array())
 
 
 def read_dual_window_slice(path: str, wc: float = _WC_DEFAULT, ww: float = _WW_DEFAULT):
     """Stored pixels -> (windowed, fullrange), both [-1, 1]
     (``read_ori_w``, datasets.py:36-71). The windowed view is computed on
-    HU = stored - 1024 with the fixed clinical window WC=50/WW=400."""
+    HU = stored - 1024 with the fixed clinical window WC=50/WW=400. Fused
+    native kernel when available."""
+    from ctagan_tpu.data.native import dual_window_native
+
     ds = read_dicom(path)
-    raw = ds.pixel_array().astype(np.float32)
-    hu = raw - 1024.0
-
-    win_min = (2 * wc - ww) / 2.0 + 0.5
-    win_max = (2 * wc + ww) / 2.0 + 0.5
-    d = 255.0 / (win_max - win_min)
-    img1 = np.trunc((hu - win_min) * d)
-    np.clip(img1, 0, 255, out=img1)
-    img1 = img1 / 255.0
-    img1 = (img1 - 0.5) / 0.5
-
-    img2 = raw.copy()
-    img2[img2 < 0] = 0
-    img2 = img2 / 4095.0
-    img2 = (img2 - 0.5) / 0.5
-    return img1.astype(np.float32), img2.astype(np.float32)
+    return dual_window_native(ds.pixel_array(), wc, ww)
 
 
 def _read_list(path: str) -> List[str]:

@@ -261,6 +261,30 @@ class TrainerBase:
             return 0.0, 0.0
         return psnr_sum / num, ssim_sum / num
 
+    def make_figures(self, out_dir: Optional[str] = None, limit: int = 8):
+        """Qualitative PNG panels over the test list — the reference's
+        ``testt()`` surface (HdTrainer.py:282-426) without cv2."""
+        from ctagan_tpu.utils.figures import save_qualitative_panel
+
+        out_dir = out_dir or os.path.join(self.config.image_save, "panels")
+        loader = PrefetchLoader(
+            self.test_dataset, batch_size=1, num_threads=self.config.n_cpu
+        )
+        gp = self._g_params()
+        size = self.config.size
+        for i, batch in enumerate(loader):
+            if i >= limit:
+                break
+            a, b = self._val_pairs(batch)
+            fake = np.asarray(self._gen_fwd(gp, jnp.asarray(a)))[0, :, :, 0]
+            save_qualitative_panel(
+                out_dir,
+                f"slice{i}",
+                [np.asarray(a)[0, :, :, 0], np.asarray(b)[0, :, :, 0], fake],
+                zoom_center=(size // 2, size // 2),
+            )
+        return out_dir
+
     def test(self, write_dicom: bool = True):
         cfg = self.config
         if cfg.generator_ckpt:
@@ -273,6 +297,9 @@ class TrainerBase:
             self.test_dataset, batch_size=1, num_threads=cfg.n_cpu
         )
         writeback = DicomWriteback(cfg.image_save) if write_dicom else None
+        from ctagan_tpu.ops.lpips import make_lpips_fn
+
+        lpips_fn = make_lpips_fn(cfg.lpips_weights)
         rows = []
         gp = self._g_params()
         from ctagan_tpu.data.dicom import read_dicom as _rd
@@ -285,7 +312,7 @@ class TrainerBase:
             ds1 = _rd(a_path.replace("SE0", "SE1"))
             wc = ds1.window_center or 50.0
             ww = ds1.window_width or 400.0
-            rows.append(evaluate_pair(fake, real, wc, ww))
+            rows.append(evaluate_pair(fake, real, wc, ww, lpips_fn=lpips_fn))
             if writeback is not None:
                 writeback.write(a_path, fake)
         agg = aggregate(rows)

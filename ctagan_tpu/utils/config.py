@@ -65,6 +65,7 @@ class Config:
     resume: bool = False  # resume from newest checkpoint in save_root
     generator_ckpt: str = ""  # explicit checkpoint for test()
     stage1_ckpt: str = ""  # HD stage-2 bootstrap (netG/R from stage 1)
+    lpips_weights: str = ""  # torch LPIPS(alex) weights; metric gated if empty
 
     extras: Dict[str, Any] = field(default_factory=dict)
 
