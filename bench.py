@@ -44,12 +44,18 @@ def bench_inference(batch: int = 8, size: int = 512, dtype: str = "bfloat16", it
         .uniform(-1, 1, (batch, size, size, 1))
         .astype(np.float32)
     )
-    jax.block_until_ready(forward(params, x))  # compile + warm
-    t0 = time.perf_counter()
+    # NOTE: through the axon tunnel block_until_ready can return before the
+    # device finishes, so every timing sample forces a scalar round-trip
+    # (float() of one output element executes the whole program). The first
+    # synced call absorbs weight upload + pipeline warmup and is excluded.
+    float(forward(params, x)[0, 0, 0, 0])  # compile + warm + full sync
+    float(forward(params, x)[0, 0, 0, 0])  # steady-state warm
+    times = []
     for _ in range(iters):
-        out = forward(params, x)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        float(forward(params, x)[0, 0, 0, 0])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     return batch / dt, dt
 
 
@@ -89,12 +95,17 @@ def bench_train_step(size: int = 512, dtype: str = "bfloat16", iters: int = 10):
         for k in ("A2", "B1", "B2")
     }
     lr = jnp.float32(1e-4)
-    state, _ = jax.block_until_ready(step(state, batch, lr))  # compile
-    t0 = time.perf_counter()
+    state, losses = step(state, batch, lr)  # compile
+    float(losses["toal_loss"])  # full sync (see bench_inference note)
+    state, losses = step(state, batch, lr)
+    float(losses["toal_loss"])
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         state, losses = step(state, batch, lr)
-    jax.block_until_ready(state)
-    dt = (time.perf_counter() - t0) / iters
+        float(losses["toal_loss"])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     return 1.0 / dt, dt
 
 

@@ -216,8 +216,12 @@ class TrainerBase:
             if self.dual_window:
                 loader = self._train_loader()  # per-epoch oversampling redraw
                 logger.set_epoch_size(len(loader))
+            pending = []  # device-side loss dicts; pulled lazily at log points
             for i, batch in enumerate(loader):
                 if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                    for lo in pending:
+                        logger.log({k: float(v) for k, v in lo.items()})
+                    pending = []
                     logger.epoch += 1
                     logger.batch = 1
                     break
@@ -225,7 +229,13 @@ class TrainerBase:
                 self.state, losses = self._step(
                     self.state, db, jnp.float32(self.lr), jnp.float32(self.lr_d)
                 )
-                logger.log({k: v for k, v in losses.items()})
+                # never sync the hot loop on fresh results: buffer the device
+                # scalars and convert them once they're ancient history
+                pending.append(losses)
+                if len(pending) >= cfg.log_every or i + 1 == len(loader):
+                    for lo in pending:
+                        logger.log({k: float(v) for k, v in lo.items()})
+                    pending = []
                 if (i + 1) % cfg.checkpoint_every_iters == 0:
                     self._save(epoch)
             if epoch % cfg.val_every == 0:
