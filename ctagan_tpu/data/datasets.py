@@ -106,7 +106,13 @@ class PairedSliceDataset:
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         a_path = self.files_a[index % len(self.files_a)]
-        b_path = self.files_b[index % len(self.files_b)]
+        if self.unaligned:
+            # unpaired sampling for CycleGAN-style training
+            # (ImageDataset(unaligned=True), datasets.py:109-111)
+            rng = np.random.default_rng(abs(hash((index, len(self.files_b)))) % (2**32))
+            b_path = self.files_b[int(rng.integers(0, len(self.files_b)))]
+        else:
+            b_path = self.files_b[index % len(self.files_b)]
         item = {"A": self._load(a_path), "B": self._load(b_path)}
         item["A_path"] = a_path
         return item

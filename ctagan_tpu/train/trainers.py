@@ -113,7 +113,11 @@ class TrainerBase:
                 rng=rng,
                 size=self.config.size,
             )
-        return PairedSliceDataset(self.config.train_list, size=self.config.size)
+        return PairedSliceDataset(
+            self.config.train_list,
+            size=self.config.size,
+            unaligned=self.config.unaligned,
+        )
 
     def _make_eval_dataset(self, list_file):
         if self.dual_window:
@@ -139,9 +143,17 @@ class TrainerBase:
 
     # -- schedule -----------------------------------------------------------
     def update_learning_rate(self):
-        """Faithful reference decay (accelerating; D lr frozen for HD)."""
-        lrd_step = self.lr / self.config.decay_epoch
-        new_lr = self.lr - lrd_step
+        """lr schedule. ``decay_mode='reference'`` reproduces the reference's
+        accelerating decay (the decrement is recomputed from the already-
+        mutated lr each epoch — CycTrainer.py:117-126 — so lr decays
+        geometrically, never reaching 0); ``'linear'`` is the clean
+        LambdaLR-style linear ramp to 0 the reference imports but never uses
+        (utils.py:142-150). HD's D lr stays frozen either way (faithful to
+        HdTrainer.py:163-164)."""
+        if self.config.decay_mode == "linear":
+            new_lr = max(0.0, self.lr - self.config.lr / self.config.decay_epoch)
+        else:
+            new_lr = self.lr - self.lr / self.config.decay_epoch
         if not self.quiet:
             print(f"update learning rate: {self.lr:f} -> {new_lr:f}")
         self.lr = new_lr

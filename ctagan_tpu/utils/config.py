@@ -58,6 +58,8 @@ class Config:
     # --- TPU-native knobs (new) ---
     seed: int = 42
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    decay_mode: str = "reference"  # 'reference' (accelerating quirk) | 'linear'
+    unaligned: bool = False  # unpaired B sampling (CycleGAN-style)
     data_parallel: bool = True  # shard batch over all local devices
     val_every: int = 5  # epochs between validations (reference: hardcoded 5)
     log_every: int = 50  # steps between stdout log lines
@@ -78,6 +80,8 @@ class Config:
             raise ValueError("size must be divisible by 4 (generator strides)")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown compute_dtype {self.compute_dtype}")
+        if self.decay_mode not in ("reference", "linear"):
+            raise ValueError(f"unknown decay_mode {self.decay_mode}")
         if self.batchSize < 1:
             raise ValueError("batchSize must be >= 1")
         return self

@@ -31,12 +31,16 @@ def main():
     )
     parser.add_argument(
         "--mode", type=str, default="test",
-        choices=["train", "test", "train_test"],
+        choices=["train", "test", "train_test", "infer", "figures"],
         help="What to run (the reference hardcodes test; train by editing).",
     )
     parser.add_argument(
         "--max-steps", type=int, default=None,
         help="Optional cap on train steps per epoch (smoke runs).",
+    )
+    parser.add_argument(
+        "--series", type=str, default=None,
+        help="infer mode: path to an SE0 series directory (whole volume).",
     )
     opts = parser.parse_args()
 
@@ -56,6 +60,15 @@ def main():
         trainer.train(max_steps_per_epoch=opts.max_steps)
     if opts.mode in ("test", "train_test"):
         trainer.test()
+    if opts.mode == "figures":
+        print("panels:", trainer.make_figures())
+    if opts.mode == "infer":
+        if not opts.series:
+            parser.error("--mode infer requires --series <SE0 dir>")
+        from ctagan_tpu.parallel.serve import infer_series
+
+        out = infer_series(trainer, opts.series, config.image_save)
+        print("synthetic CTA written to:", out)
 
 
 if __name__ == "__main__":
