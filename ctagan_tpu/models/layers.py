@@ -59,9 +59,20 @@ def reflect_pad(x, pad: int):
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
 
 
+# When True, instance_norm lowers through the fused two-phase Pallas kernel
+# (ops.pallas_kernels) instead of the XLA reduction chain. Set before trace
+# (e.g. ctagan_tpu.models.layers.USE_PALLAS_INSTANCE_NORM = True); baked at
+# jit time. Requires H divisible by 16 and a TPU backend.
+USE_PALLAS_INSTANCE_NORM = False
+
+
 def instance_norm(x, eps: float = 1e-5):
     """InstanceNorm2d(affine=False, track_running_stats=False): normalize each
     (sample, channel) plane over H, W. Stats in fp32 for bf16 inputs."""
+    if USE_PALLAS_INSTANCE_NORM and x.shape[1] % 16 == 0 and x.shape[2] >= 128:
+        from ctagan_tpu.ops.pallas_kernels import instance_norm_pallas
+
+        return instance_norm_pallas(x, eps=eps)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
     var = jnp.var(xf, axis=(1, 2), keepdims=True)

@@ -76,6 +76,7 @@ class TrainerBase:
         self.lr = float(config.lr)
         self.lr_d = float(config.lrd)
         self.start_epoch = int(config.epoch)
+        self._current_epoch = self.start_epoch
         self.key = jax.random.PRNGKey(config.seed)
         self.g_model = Generator(
             config.input_nc, config.output_nc, dtype=_dtype(config)
@@ -196,6 +197,12 @@ class TrainerBase:
             print(f"resumed from {path} (epoch {self.start_epoch})")
 
     def load_generator(self, path: str):
+        if path.endswith((".pth", ".pt")):
+            # reference PyTorch checkpoint -> native params (torch_import)
+            from ctagan_tpu.models.torch_import import import_generator
+
+            self._set_g_params(jax.device_put(import_generator(path)))
+            return
         target = {
             "state": jax.device_get(self.state),
             "epoch": 0,
@@ -222,7 +229,22 @@ class TrainerBase:
             log_every=cfg.log_every,
             quiet=self.quiet,
         )
+        try:
+            self._train_epochs(cfg, loader, logger, max_steps_per_epoch)
+        except (KeyboardInterrupt, Exception):
+            # failure containment the reference lacks (a crash loses up to an
+            # epoch, SURVEY.md §5): emergency checkpoint, then re-raise
+            self._save(self._current_epoch)
+            if not self.quiet:
+                print(
+                    f"\nemergency checkpoint saved at epoch {self._current_epoch}"
+                )
+            raise
+        return self
+
+    def _train_epochs(self, cfg, loader, logger, max_steps_per_epoch):
         for epoch in range(self.start_epoch + 1, cfg.total_epochs + 1):
+            self._current_epoch = epoch
             if epoch > cfg.n_epochs:
                 self.update_learning_rate()
             if self.dual_window:

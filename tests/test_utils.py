@@ -1,0 +1,102 @@
+"""Config/checkpoint/logging/profiling utility tests."""
+import os
+import time
+
+import numpy as np
+import pytest
+
+from ctagan_tpu.utils.checkpoint import (
+    checkpoint_name,
+    find_latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from ctagan_tpu.utils.config import Config, load_config
+from ctagan_tpu.utils.logging import TrainLogger
+from ctagan_tpu.utils.profiling import StepTimer
+
+
+def test_config_reference_yaml_compat(tmp_path):
+    # a verbatim reference-style YAML loads with exact key names
+    y = tmp_path / "ref.yaml"
+    y.write_text(
+        """
+name: HdGan
+noise_level: 1
+port: 8097
+save_root: './output/Hd/model3/'
+image_save: './output/Hd/img1/e3'
+Adv_lamda1: 1
+Adv_lamda2: 0.1
+Cyc_lamda: 10
+Corr_lamda1: 20
+Corr_lamda2: 2
+Smooth_lamda: 10
+epoch: 0
+n_epochs: 45
+batchSize: 1
+train_list: './data/train.txt'
+val_list: './data/val2.txt'
+test_list: './data/test1.txt'
+lr: 0.0001
+lrd: 0.0001
+decay_epoch: 20
+size: 512
+input_nc: 1
+output_nc: 1
+cuda: True
+n_cpu: 1
+"""
+    )
+    cfg = load_config(str(y))
+    assert cfg.name == "HdGan" and cfg.n_epochs == 45 and cfg.lrd == 1e-4
+    assert cfg.total_epochs == 65
+    assert cfg.Corr_lamda2 == 2
+
+
+def test_config_unknown_keys_preserved():
+    cfg = load_config({"name": "P2p", "my_custom_key": 7})
+    assert cfg.extras["my_custom_key"] == 7
+
+
+def test_config_validation_errors():
+    with pytest.raises(ValueError):
+        load_config({"size": 510})
+    with pytest.raises(ValueError):
+        load_config({"compute_dtype": "fp17"})
+    with pytest.raises(ValueError):
+        load_config({"decay_mode": "exp"})
+
+
+def test_checkpoint_roundtrip_and_latest(tmp_path):
+    state = {"a": np.arange(6).reshape(2, 3).astype(np.float32), "b": 3}
+    p1 = save_checkpoint(str(tmp_path), "net", 1, state)
+    p2 = save_checkpoint(str(tmp_path), "net", 5, state, psnr=31.2345, ssim=0.91)
+    save_checkpoint(str(tmp_path), "other", 9, state)
+    assert os.path.basename(p2) == "net_e5_31.2345_0.91.ckpt"
+    path, epoch = find_latest_checkpoint(str(tmp_path), "net")
+    assert epoch == 5 and path == p2
+    back = load_checkpoint(p1, {"a": np.zeros((2, 3), np.float32), "b": 0})
+    np.testing.assert_array_equal(back["a"], state["a"])
+    assert find_latest_checkpoint(str(tmp_path), "missing") is None
+
+
+def test_train_logger_csv(tmp_path):
+    lg = TrainLogger("t", n_epochs=2, batches_per_epoch=3, log_dir=str(tmp_path), quiet=True)
+    for _ in range(6):
+        lg.log({"loss": 1.0})
+    csv = tmp_path / "t_losses.csv"
+    assert csv.exists()
+    lines = csv.read_text().strip().splitlines()
+    assert lines[0] == "epoch,loss"
+    assert len(lines) == 3  # header + 2 epochs
+
+
+def test_step_timer():
+    st = StepTimer()
+    for _ in range(4):
+        st.tick()
+        time.sleep(0.01)
+    s = st.summary()
+    assert 5 < s["p50_ms"] < 100
+    assert s["steps_per_sec"] > 5
