@@ -25,7 +25,7 @@ import numpy as np
 REF_BASELINE_SLICES_PER_SEC = 13.0  # analytic estimate, see module docstring
 
 
-def bench_inference(batch: int = 8, size: int = 512, dtype: str = "bfloat16", iters: int = 20):
+def bench_inference(batch: int = 32, size: int = 512, dtype: str = "bfloat16", iters: int = 20):
     import jax
     import jax.numpy as jnp
 
@@ -121,7 +121,7 @@ def main():
         "unit": "slices/s",
         "vs_baseline": round(inf_sps / REF_BASELINE_SLICES_PER_SEC, 2),
         "details": {
-            "inference_ms_per_batch8": round(inf_dt * 1e3, 2),
+            "inference_ms_per_batch32": round(inf_dt * 1e3, 2),
             "train_step_per_sec_hd1_512": (
                 round(train_sps, 3) if train_sps else None
             ),

@@ -243,6 +243,9 @@ class TrainerBase:
         return self
 
     def _train_epochs(self, cfg, loader, logger, max_steps_per_epoch):
+        from ctagan_tpu.utils.profiling import StepTimer
+
+        timer = StepTimer()
         for epoch in range(self.start_epoch + 1, cfg.total_epochs + 1):
             self._current_epoch = epoch
             if epoch > cfg.n_epochs:
@@ -272,6 +275,13 @@ class TrainerBase:
                     pending = []
                 if (i + 1) % cfg.checkpoint_every_iters == 0:
                     self._save(epoch)
+                timer.tick()
+            if not self.quiet and timer.summary():
+                s = timer.summary()
+                print(
+                    f"\n[epoch {epoch}] {s['steps_per_sec']:.2f} steps/s "
+                    f"(p50 {s['p50_ms']:.1f} ms, p90 {s['p90_ms']:.1f} ms)"
+                )
             if epoch % cfg.val_every == 0:
                 psnr_v, ssim_v = self.validate()
                 if not self.quiet:
@@ -551,9 +561,19 @@ class HdTrainerStage2(RegTrainer):
         """Load G and R from a stage-1 checkpoint (HdTrainer.py:697-699)."""
         path = path or self.config.stage1_ckpt
         if not path:
-            found = find_latest_checkpoint(
-                self.config.save_root, f"{self.config.name}_hd1"
-            )
+            # stage 1 may have run under any config name — find the newest
+            # checkpoint with an ..._hd1 prefix in save_root
+            found = None
+            if os.path.isdir(self.config.save_root):
+                prefixes = {
+                    f.split("_e")[0]
+                    for f in os.listdir(self.config.save_root)
+                    if "_hd1_e" in f and f.endswith(".ckpt")
+                }
+                for pref in prefixes:
+                    cand = find_latest_checkpoint(self.config.save_root, pref)
+                    if cand and (found is None or cand[1] > found[1]):
+                        found = cand
             if not found:
                 raise FileNotFoundError(
                     "no stage-1 checkpoint found; set stage1_ckpt"

@@ -160,3 +160,10 @@ def test_build_trainer_dispatch(tmp_path, corpus):
         assert isinstance(build_trainer(cfg, quiet=True), cls)
     with pytest.raises(KeyError):
         build_trainer(_config(tmp_path, corpus, name="P2p").validate().__class__(name="nope"))
+
+
+def test_p2p_bfloat16_step(tmp_path, corpus):
+    cfg = _config(tmp_path, corpus, name="P2p", size=64, compute_dtype="bfloat16")
+    t = P2pTrainer(cfg, quiet=True)
+    t.train(max_steps_per_epoch=1)
+    _losses_finite(t)
