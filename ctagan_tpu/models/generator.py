@@ -28,10 +28,13 @@ class Generator(nn.Module):
     n_residual_blocks: int = 9
     base_features: int = 64
     dtype: Any = None
+    remat: bool = False  # rematerialize residual blocks (activation memory
+    # ~/n_blocks in backward — enables much larger per-chip batch at 512²)
 
     @nn.compact
     def __call__(self, x):
         f = self.base_features
+        block_cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
         # head: c7s1-64
         h = reflect_pad(x, 3)
         h = ConvTorch(f, 7, dtype=self.dtype)(h)
@@ -44,7 +47,7 @@ class Generator(nn.Module):
             h = nn.relu(h)
         # residual body at 256 channels
         for _ in range(self.n_residual_blocks):
-            h = ResidualBlock(f * 4, dtype=self.dtype)(h)
+            h = block_cls(f * 4, dtype=self.dtype)(h)
         # upsampling 256 -> 128 -> 64
         for mult in (2, 1):
             h = ConvTransposeTorch(f * mult, dtype=self.dtype)(h)

@@ -1,0 +1,220 @@
+"""Production serving: HTTP synthesis service with micro-batching.
+
+The reference has no serving story (inference = editing test lists and
+re-running train.py). This daemon turns the flagship generator into a
+service shaped for TPU throughput:
+
+- ``POST /synthesize``: request body = one NCCT DICOM slice; response =
+  the synthetic-CTA DICOM slice (same header, fresh SeriesInstanceUID).
+- ``GET /healthz``: device/model status + rolling latency stats.
+
+Requests are **micro-batched**: a collector thread drains the request queue
+up to ``max_batch`` (or ``batch_timeout_ms``), pads to the compiled batch
+shape, and runs ONE jitted forward — so concurrent clients share MXU work
+instead of serializing 1-slice launches. Everything is stdlib (http.server,
+queue, threading); the model and its compiled executable are process-wide.
+"""
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from ctagan_tpu.data.dicom import generate_uid, read_dicom
+from ctagan_tpu.data.native import (
+    dual_window_native,
+    resize_nearest_native,
+)
+
+
+class _Pending:
+    __slots__ = ("image", "event", "result", "error")
+
+    def __init__(self, image):
+        self.image = image
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[str] = None
+
+
+class SynthesisService:
+    def __init__(
+        self,
+        g_model,
+        params,
+        size: int = 512,
+        max_batch: int = 8,
+        batch_timeout_ms: float = 5.0,
+    ):
+        import jax
+
+        self.size = size
+        self.max_batch = max_batch
+        self.batch_timeout = batch_timeout_ms / 1e3
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._fwd = jax.jit(lambda p, x: g_model.apply(p, x))
+        self._params = params
+        self._latencies = []
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        # warm the compiled executable at the fixed batch shape
+        warm = np.zeros((max_batch, size, size, 1), np.float32)
+        np.asarray(self._fwd(self._params, warm))
+        self._worker.start()
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.batch_timeout
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            t0 = time.perf_counter()
+            try:
+                x = np.stack([p.image for p in batch])
+                if len(batch) < self.max_batch:  # pad to compiled shape
+                    pad = np.repeat(x[-1:], self.max_batch - len(batch), 0)
+                    x = np.concatenate([x, pad], 0)
+                y = np.asarray(self._fwd(self._params, x[..., None]))
+                for i, p in enumerate(batch):
+                    p.result = y[i, :, :, 0]
+                    p.event.set()
+            except Exception as e:  # propagate per-request
+                for p in batch:
+                    p.error = repr(e)
+                    p.event.set()
+            with self._lock:
+                self._latencies.append(time.perf_counter() - t0)
+                if len(self._latencies) > 200:
+                    self._latencies.pop(0)
+
+    def synthesize(self, image: np.ndarray, timeout: float = 60.0) -> np.ndarray:
+        p = _Pending(image)
+        self._queue.put(p)
+        if not p.event.wait(timeout):
+            raise TimeoutError("synthesis timed out")
+        if p.error:
+            raise RuntimeError(p.error)
+        return p.result
+
+    def stats(self):
+        with self._lock:
+            lats = list(self._latencies)
+        return {
+            "batches_served": len(lats),
+            "p50_batch_ms": float(np.median(lats) * 1e3) if lats else None,
+            "max_batch": self.max_batch,
+            "size": self.size,
+        }
+
+    def stop(self):
+        self._stop.set()
+
+
+def _make_handler(service: SynthesisService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                body = json.dumps({"status": "ok", **service.stats()}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self.send_error(404)
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                ds = read_dicom(self.rfile.read(n))
+                raw = ds.pixel_array()
+                _, full = dual_window_native(raw)
+                orig = full.shape[0]
+                if full.shape != (service.size, service.size):
+                    full = resize_nearest_native(
+                        np.ascontiguousarray(full, np.float32), service.size
+                    )
+                fake = service.synthesize(full)
+                if fake.shape[0] != orig:
+                    fake = resize_nearest_native(
+                        np.ascontiguousarray(fake, np.float32), orig
+                    )
+                ds.set_pixel_data((fake + 1.0) * 0.5 * 4095.0)
+                ds.series_instance_uid = generate_uid()
+                from ctagan_tpu.data.dicom import write_dicom
+                import io, tempfile, os
+
+                # serialize to bytes via the codec
+                tmp = tempfile.NamedTemporaryFile(delete=False)
+                tmp.close()
+                write_dicom(ds, tmp.name)
+                with open(tmp.name, "rb") as f:
+                    out = f.read()
+                os.unlink(tmp.name)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/dicom")
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+            except Exception as e:
+                msg = json.dumps({"error": repr(e)}).encode()
+                self.send_response(400)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(msg)))
+                self.end_headers()
+                self.wfile.write(msg)
+
+    return Handler
+
+
+def serve(
+    g_model,
+    params,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    size: int = 512,
+    max_batch: int = 8,
+):
+    """Start the synthesis HTTP server (blocking); returns (server, service)
+    when used programmatically via ``serve_async``."""
+    service = SynthesisService(g_model, params, size=size, max_batch=max_batch)
+    server = ThreadingHTTPServer((host, port), _make_handler(service))
+    server.serve_forever()
+
+
+def serve_async(
+    g_model,
+    params,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    size: int = 512,
+    max_batch: int = 8,
+):
+    """Start in a background thread; returns (server, service, port)."""
+    service = SynthesisService(g_model, params, size=size, max_batch=max_batch)
+    server = ThreadingHTTPServer((host, port), _make_handler(service))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, service, server.server_address[1]

@@ -79,7 +79,10 @@ class TrainerBase:
         self._current_epoch = self.start_epoch
         self.key = jax.random.PRNGKey(config.seed)
         self.g_model = Generator(
-            config.input_nc, config.output_nc, dtype=_dtype(config)
+            config.input_nc,
+            config.output_nc,
+            dtype=_dtype(config),
+            remat=config.remat,
         )
         self._build_models()
         self.state, self.tx = self._init_state()
@@ -254,7 +257,21 @@ class TrainerBase:
                 loader = self._train_loader()  # per-epoch oversampling redraw
                 logger.set_epoch_size(len(loader))
             pending = []  # device-side loss dicts; pulled lazily at log points
-            for i, batch in enumerate(loader):
+
+            def _device_batches():
+                # one-batch lookahead: the next host->device transfer is
+                # issued before the current step is consumed, so the copy
+                # overlaps with compute (double buffering — replaces the
+                # reference's DataLoaderX/DataPrefetcher role)
+                nxt = None
+                for b in loader:
+                    cur, nxt = nxt, self._device_batch(b)
+                    if cur is not None:
+                        yield cur
+                if nxt is not None:
+                    yield nxt
+
+            for i, db in enumerate(_device_batches()):
                 if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                     for lo in pending:
                         logger.log({k: float(v) for k, v in lo.items()})
@@ -262,7 +279,6 @@ class TrainerBase:
                     logger.epoch += 1
                     logger.batch = 1
                     break
-                db = self._device_batch(batch)
                 self.state, losses = self._step(
                     self.state, db, jnp.float32(self.lr), jnp.float32(self.lr_d)
                 )

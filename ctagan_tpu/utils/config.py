@@ -60,6 +60,7 @@ class Config:
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     decay_mode: str = "reference"  # 'reference' (accelerating quirk) | 'linear'
     unaligned: bool = False  # unpaired B sampling (CycleGAN-style)
+    remat: bool = False  # rematerialize generator residual blocks
     data_parallel: bool = True  # shard batch over all local devices
     val_every: int = 5  # epochs between validations (reference: hardcoded 5)
     log_every: int = 50  # steps between stdout log lines

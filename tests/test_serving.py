@@ -1,0 +1,85 @@
+"""HTTP synthesis service tests: end-to-end over a real socket, with
+micro-batching under concurrent clients."""
+import concurrent.futures
+import json
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ctagan_tpu.data.dicom import make_ct_slice, read_dicom, write_dicom
+from ctagan_tpu.data.fixtures import synthetic_ct_pixels
+from ctagan_tpu.models import Generator
+from ctagan_tpu.serving.server import serve_async
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    g = Generator(1, 1)
+    params = g.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    srv, service, port = serve_async(g, params, size=32, max_batch=4)
+    yield port
+    service.stop()
+    srv.shutdown()
+
+
+def _dicom_bytes(tmp_path, seed=0):
+    rng = np.random.default_rng(seed)
+    ds = make_ct_slice(synthetic_ct_pixels(rng, 32))
+    p = tmp_path / f"s{seed}"
+    write_dicom(ds, p)
+    return p.read_bytes()
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server}/healthz") as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["max_batch"] == 4
+
+
+def test_synthesize_roundtrip(server, tmp_path):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server}/synthesize",
+        data=_dicom_bytes(tmp_path),
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        out = r.read()
+    ds = read_dicom(out)
+    assert ds.pixel_array().shape == (32, 32)
+    # tanh output -> stored values within [0, 4095]
+    px = ds.pixel_array().astype(np.int64)
+    assert px.min() >= 0 and px.max() <= 4095
+
+
+def test_concurrent_requests_microbatch(server, tmp_path):
+    def one(i):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server}/synthesize",
+            data=_dicom_bytes(tmp_path, seed=i),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            return read_dicom(r.read()).pixel_array().shape
+
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        shapes = list(ex.map(one, range(8)))
+    assert shapes == [(32, 32)] * 8
+
+
+def test_malformed_body_clean_400(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server}/synthesize", data=b"not a dicom", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+
+
+def test_unknown_path_404(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"http://127.0.0.1:{server}/nope")
+    assert ei.value.code == 404

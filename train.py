@@ -31,7 +31,7 @@ def main():
     )
     parser.add_argument(
         "--mode", type=str, default="test",
-        choices=["train", "test", "train_test", "infer", "figures"],
+        choices=["train", "test", "train_test", "infer", "figures", "serve"],
         help="What to run (the reference hardcodes test; train by editing).",
     )
     parser.add_argument(
@@ -69,6 +69,19 @@ def main():
 
         out = infer_series(trainer, opts.series, config.image_save)
         print("synthetic CTA written to:", out)
+    if opts.mode == "serve":
+        from ctagan_tpu.serving.server import serve
+        from ctagan_tpu.utils.checkpoint import find_latest_checkpoint
+
+        if config.generator_ckpt:
+            trainer.load_generator(config.generator_ckpt)
+        else:
+            found = find_latest_checkpoint(config.save_root, trainer.ckpt_prefix)
+            if found:
+                trainer.load_generator(found[0])
+        port = int(config.extras.get("serve_port", 8080))
+        print(f"serving CT->CTA synthesis on :{port} (POST /synthesize)")
+        serve(trainer.g_model, trainer._g_params(), port=port, size=config.size)
 
 
 if __name__ == "__main__":
