@@ -58,12 +58,19 @@ def _slice_paths(series_dir: str) -> List[str]:
 
 
 def collect_pairs(
-    root: str, stats: Optional[CorpusStats] = None
+    root: str, stats: Optional[CorpusStats] = None, repair: bool = True
 ) -> Dict[str, List[str]]:
     """Scan the tree; returns {patient_id: [valid SE0 slice paths]}.
 
     Applies the reference's pair-repair and integrity filters per slice.
+    ``repair=True`` physically swaps misfiled slice pairs on disk (CTA found
+    in SE0 <-> NCCT in SE1), matching the reference's file-move repair
+    (data_process.py:89-98) — the list format encodes "A lives in SE0", so
+    an in-memory swap alone would silently train with inverted roles.
+    ``repair=False`` rejects such pairs instead.
     """
+    import shutil
+
     stats = stats if stats is not None else CorpusStats()
     by_patient: Dict[str, List[str]] = {}
     for patient_dir in sorted(os.listdir(root)):
@@ -91,8 +98,14 @@ def collect_pairs(
                 if _is_contrast(ds0.series_description) and not _is_contrast(
                     ds1.series_description
                 ):
-                    ds0, ds1 = ds1, ds0
                     stats.swapped_pairs += 1
+                    if not repair:
+                        continue
+                    tmp = p0 + ".swap"
+                    shutil.move(p0, tmp)
+                    shutil.move(p1, p0)
+                    shutil.move(tmp, p1)
+                    ds0, ds1 = ds1, ds0
                 if ds0.rescale_intercept != -1024.0:
                     stats.rejected_intercept += 1
                     continue

@@ -107,9 +107,12 @@ class PairedSliceDataset:
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         a_path = self.files_a[index % len(self.files_a)]
         if self.unaligned:
-            # unpaired sampling for CycleGAN-style training
-            # (ImageDataset(unaligned=True), datasets.py:109-111)
-            rng = np.random.default_rng(abs(hash((index, len(self.files_b)))) % (2**32))
+            # unpaired sampling for CycleGAN-style training: a fresh random B
+            # per access, like the reference's random.randint draw
+            # (ImageDataset(unaligned=True), datasets.py:109-111). Entropy-
+            # seeded per call: thread-safe under the loader's decode pool and
+            # genuinely re-randomized every epoch.
+            rng = np.random.default_rng()
             b_path = self.files_b[int(rng.integers(0, len(self.files_b)))]
         else:
             b_path = self.files_b[index % len(self.files_b)]

@@ -47,6 +47,7 @@ class PrefetchLoader:
         num_threads: int = 4,
         prefetch: int = 8,
         rng: Optional[np.random.Generator] = None,
+        shard: Optional[tuple] = None,  # (process_index, process_count)
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -55,18 +56,37 @@ class PrefetchLoader:
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
         self.rng = rng or np.random.default_rng(0)
+        self.shard = shard
+
+    def _shard_len(self) -> int:
+        n = len(self.dataset)
+        if self.shard:
+            # truncate to the common length so every process sees the SAME
+            # number of items/batches — a ragged split would desync the
+            # SPMD step loop across hosts
+            n = n // self.shard[1]
+        return n
+
+    def _order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        if self.shard:
+            # multi-host data sharding: disjoint interleaved subsets,
+            # truncated to equal length (shuffle first; split is consistent
+            # across hosts only when rng states agree — seed from config.seed)
+            idx, count = self.shard
+            order = order[idx::count][: self._shard_len()]
+        return order
 
     def __len__(self):
-        n = len(self.dataset)
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self.dataset)
-        order = np.arange(n)
-        if self.shuffle:
-            self.rng.shuffle(order)
+        order = self._order()
         nb = len(self)
         batches = [
             order[i * self.batch_size : (i + 1) * self.batch_size]
@@ -108,9 +128,22 @@ class PrefetchLoader:
                             if done.is_set():
                                 return
                             threading.Event().wait(0.001)
-                    out_queue.put(_collate(items))
+                    batch_out = _collate(items)
+                    while True:  # bounded put that honors abandonment
+                        try:
+                            out_queue.put(batch_out, timeout=0.1)
+                            break
+                        except queue.Full:
+                            if done.is_set():
+                                return
             finally:
-                out_queue.put(_SENTINEL)
+                while True:
+                    try:
+                        out_queue.put(_SENTINEL, timeout=0.1)
+                        break
+                    except queue.Full:
+                        if done.is_set():
+                            break
 
         threads = [
             threading.Thread(target=worker, daemon=True)

@@ -182,8 +182,11 @@ class ConvTransposeTorch(nn.Module):
             (k, k),
             strides=(self.stride, self.stride),
             padding=[(lo, hi), (lo, hi)],
+            # PyTorch ConvTranspose2d default init divides by O*k*k; on the
+            # transpose_kernel layout (kh,kw,O,I) that is flax's "fan_in"
+            # (shape[-2] * receptive_field)
             kernel_init=nn.initializers.variance_scaling(
-                1.0 / 3.0, "fan_out", "uniform"
+                1.0 / 3.0, "fan_in", "uniform"
             ),
             bias_init=bias_init,
             transpose_kernel=True,

@@ -41,15 +41,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch):
     """Place a host numpy batch onto the mesh, sharded on the batch axis.
 
-    Array leaves only (path strings stay host-side). ``jax.device_put`` with
-    a NamedSharding performs the per-device split without a host copy per
-    shard and overlaps with compute.
+    Array leaves only (path strings stay host-side). Single-process:
+    ``jax.device_put`` with a NamedSharding splits across local devices and
+    overlaps with compute. Multi-process (DCN scale-out): each host passes
+    its *local* shard and the global array is assembled via
+    ``jax.make_array_from_process_local_data``.
     """
     sharding = batch_sharding(mesh)
-    return jax.tree.map(
-        lambda x: jax.device_put(x, sharding),
-        {k: v for k, v in batch.items() if not k.endswith("_path")},
-    )
+    arrs = {k: v for k, v in batch.items() if not k.endswith("_path")}
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sharding, v)
+            for k, v in arrs.items()
+        }
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), arrs)
 
 
 def pad_batch_to(batch, target: int):

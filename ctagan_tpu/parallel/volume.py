@@ -54,9 +54,10 @@ def infer_volume(
     return out
 
 
-def _hann2d(tile: int) -> np.ndarray:
-    wy = np.hanning(tile + 2)[1:-1]
-    return np.sqrt(np.outer(wy, wy)).astype(np.float32)
+def _hann2d(tile_h: int, tile_w: int) -> np.ndarray:
+    wy = np.hanning(tile_h + 2)[1:-1]
+    wx = np.hanning(tile_w + 2)[1:-1]
+    return np.sqrt(np.outer(wy, wx)).astype(np.float32)
 
 
 def sliding_window(
@@ -68,31 +69,38 @@ def sliding_window(
 ):
     """Seam-free tiled inference of one (H, W, C) image larger than the
     model's native resolution: overlapping tiles, Hann-window blending.
+    The tile is clamped per axis, so images small in only one dimension
+    tile along the other (rectangular tiles/window).
     """
     h, w, c = image.shape
     if h <= tile and w <= tile:
         return apply_fn(params, image[None])[0]
-    stride = max(1, int(tile * (1.0 - overlap)))
-    ys = list(range(0, max(h - tile, 0) + 1, stride))
-    xs = list(range(0, max(w - tile, 0) + 1, stride))
-    if ys[-1] + tile < h:
-        ys.append(h - tile)
-    if xs[-1] + tile < w:
-        xs.append(w - tile)
+    tile_h = min(tile, h)
+    tile_w = min(tile, w)
 
-    window = jnp.asarray(_hann2d(tile))[..., None]
+    def starts(extent, t):
+        stride = max(1, int(t * (1.0 - overlap)))
+        ss = list(range(0, max(extent - t, 0) + 1, stride))
+        if ss[-1] + t < extent:
+            ss.append(extent - t)
+        return ss
+
+    ys = starts(h, tile_h)
+    xs = starts(w, tile_w)
+
+    window = jnp.asarray(_hann2d(tile_h, tile_w))[..., None]
     acc = jnp.zeros((h, w, c), jnp.float32)
     norm = jnp.zeros((h, w, 1), jnp.float32)
     fwd = jax.jit(apply_fn)
     # batch all tiles through one compiled call
     tiles = jnp.stack(
-        [image[y : y + tile, x : x + tile, :] for y in ys for x in xs]
+        [image[y : y + tile_h, x : x + tile_w, :] for y in ys for x in xs]
     )
     outs = fwd(params, tiles)
     k = 0
     for y in ys:
         for x in xs:
-            acc = acc.at[y : y + tile, x : x + tile, :].add(outs[k] * window)
-            norm = norm.at[y : y + tile, x : x + tile, :].add(window[..., :1])
+            acc = acc.at[y : y + tile_h, x : x + tile_w, :].add(outs[k] * window)
+            norm = norm.at[y : y + tile_h, x : x + tile_w, :].add(window[..., :1])
             k += 1
     return acc / jnp.maximum(norm, 1e-8)

@@ -136,13 +136,21 @@ class TrainerBase:
 
     def _train_loader(self):
         ds = self._make_train_dataset(self._data_rng)
+        # multi-host: each process feeds its local devices a disjoint shard
+        shard = (
+            (jax.process_index(), jax.process_count())
+            if jax.process_count() > 1
+            else None
+        )
+        n_local = self.n_devices // max(1, jax.process_count())
         return PrefetchLoader(
             ds,
-            batch_size=self.config.batchSize * self.n_devices,
+            batch_size=self.config.batchSize * max(1, n_local),
             shuffle=True,
             drop_last=True,
             num_threads=self.config.n_cpu,
             rng=self._data_rng,
+            shard=shard,
         )
 
     # -- schedule -----------------------------------------------------------
@@ -169,7 +177,15 @@ class TrainerBase:
     def ckpt_prefix(self):
         return f"{self.config.name}_{self.family}"
 
+    @staticmethod
+    def _is_host0() -> bool:
+        return jax.process_index() == 0
+
     def _save(self, epoch, psnr=None, ssim_v=None):
+        if not self._is_host0():
+            # multi-host: params are replicated — only host 0 writes, all
+            # hosts read on resume (shared storage convention)
+            return None
         payload = {
             "state": jax.device_get(self.state),
             "epoch": epoch,
@@ -217,8 +233,9 @@ class TrainerBase:
 
     # -- loops --------------------------------------------------------------
     def _device_batch(self, batch):
-        target = self.config.batchSize * self.n_devices
-        batch, _ = pad_batch_to(batch, target)
+        # pad to the per-process feed size (== global batch when single-host)
+        n_local = max(1, self.n_devices // max(1, jax.process_count()))
+        batch, _ = pad_batch_to(batch, self.config.batchSize * n_local)
         return shard_batch(self.mesh, batch)
 
     def train(self, max_steps_per_epoch: Optional[int] = None):
@@ -228,9 +245,9 @@ class TrainerBase:
             cfg.name,
             cfg.total_epochs,
             len(loader),
-            log_dir=cfg.save_root,
+            log_dir=cfg.save_root if self._is_host0() else None,
             log_every=cfg.log_every,
-            quiet=self.quiet,
+            quiet=self.quiet or not self._is_host0(),
         )
         try:
             self._train_epochs(cfg, loader, logger, max_steps_per_epoch)
@@ -366,7 +383,11 @@ class TrainerBase:
         loader = PrefetchLoader(
             self.test_dataset, batch_size=1, num_threads=cfg.n_cpu
         )
-        writeback = DicomWriteback(cfg.image_save) if write_dicom else None
+        writeback = (
+            DicomWriteback(cfg.image_save)
+            if write_dicom and self._is_host0()
+            else None
+        )
         from ctagan_tpu.ops.lpips import make_lpips_fn
 
         lpips_fn = make_lpips_fn(cfg.lpips_weights)

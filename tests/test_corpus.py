@@ -125,3 +125,34 @@ def test_register_translation_roundtrip(tmp_path):
         write_dicom(ds, p)
     shift = register_translation(str(tmp_path), "pat0")
     assert tuple(shift[1:]) == (-5, 3)  # undoes the spatial shift
+
+
+def test_swapped_series_repair_moves_files(tmp_path):
+    _tree(str(tmp_path), n_patients=1, slices=1)
+    p0 = os.path.join(str(tmp_path), "pat0", "ST0", "SE0", "IM0")
+    p1 = os.path.join(str(tmp_path), "pat0", "ST0", "SE1", "IM0")
+    # swap descriptions so the CTA sits in SE0
+    for p, desc in ((p0, "C+"), (p1, "C-")):
+        ds = read_dicom(p)
+        ds.set_str((0x0008, 0x103E), desc, b"LO")
+        write_dicom(ds, p)
+    cta_pixels = read_dicom(p0).pixel_array()
+    stats = CorpusStats()
+    by_patient = collect_pairs(str(tmp_path), stats)
+    assert stats.swapped_pairs == 1
+    # after repair the CTA pixels physically live under SE1
+    np.testing.assert_array_equal(read_dicom(p1).pixel_array(), cta_pixels)
+    assert read_dicom(p0).series_description == "C-"
+    assert by_patient  # pair now valid and kept
+
+
+def test_swapped_series_reject_mode(tmp_path):
+    _tree(str(tmp_path), n_patients=1, slices=1)
+    for se, desc in (("SE0", "C+"), ("SE1", "C-")):
+        p = os.path.join(str(tmp_path), "pat0", "ST0", se, "IM0")
+        ds = read_dicom(p)
+        ds.set_str((0x0008, 0x103E), desc, b"LO")
+        write_dicom(ds, p)
+    stats = CorpusStats()
+    by_patient = collect_pairs(str(tmp_path), stats, repair=False)
+    assert stats.swapped_pairs == 1 and not by_patient

@@ -36,3 +36,11 @@ def test_sliding_window_small_image_passthrough():
     img = jnp.ones((32, 32, 1))
     out = sliding_window(lambda p, x: x + 1, None, img, tile=64)
     np.testing.assert_allclose(np.asarray(out), 2.0)
+
+
+def test_sliding_window_one_small_dimension():
+    img = jnp.asarray(
+        np.random.default_rng(2).uniform(-1, 1, (32, 96, 1)).astype(np.float32)
+    )
+    out = sliding_window(lambda p, x: x * 0.5, None, img, tile=48, overlap=0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img) * 0.5, atol=1e-5)

@@ -50,7 +50,9 @@ def main():
     config = load_config(opts.config)
     seed_everything(config.seed)
     trainer = build_trainer(config)
-    if config.name == "HdGan2":
+    if config.name == "HdGan2" and trainer.start_epoch == 0:
+        # only bootstrap a FRESH stage-2 run; a resumed run (start_epoch > 0)
+        # already carries its own fine-tuned weights
         try:
             trainer.bootstrap_from_stage1()
         except FileNotFoundError:
