@@ -31,6 +31,35 @@ def _threshold_mask(img, thr=0.3):
     return body_mask(img, thr)
 
 
+def _metric_suite(fake_b, real_b, wc, ww):
+    """All 8 window+raw metrics as ONE traced computation — a single device
+    round-trip per slice instead of 8-10 (the per-call tunnel latency would
+    otherwise dominate eval wall-clock; see CLAUDE.md perf notes)."""
+    b = to_windowdata(real_b, wc, ww)
+    bb = _threshold_mask(b)
+    b_m = mask_background_to_air(b, bb)
+
+    c = to_windowdata(fake_b, wc, ww) * bb
+    cc = _threshold_mask(c)
+    c_m = mask_background_to_air(c, cc)
+
+    fake_m = mask_background_to_air(fake_b, cc)
+    real_m = mask_background_to_air(real_b, bb)
+    return {
+        "MAEw": masked_mae(c_m, b_m),
+        "PSNRw": masked_psnr(c_m, b_m),
+        "SSIMw": ssim(c_m, b_m),
+        "UQIw": uqi(c_m, b_m),
+        "MAE": masked_mae(fake_m, real_m),
+        "PSNR": masked_psnr(fake_m, real_m),
+        "SSIM": ssim(fake_m, real_m),
+        "UQI": uqi(fake_m, real_m),
+    }
+
+
+_metric_suite_jit = None
+
+
 def evaluate_pair(
     fake_b: np.ndarray,
     real_b: np.ndarray,
@@ -43,55 +72,35 @@ def evaluate_pair(
     Masking protocol (HdTrainer.py:481-538): the *windowed real* thresholded
     at 0.3 gives mask ``bb``; the windowed fake is masked by ``bb`` then by
     its own 0.3 mask ``cc``; raw real uses ``bb``, raw fake uses ``cc``;
-    masked-out pixels become -1 (air).
+    masked-out pixels become -1 (air). The whole suite runs as one jitted
+    call; WC/WW are traced scalars so per-file windows don't recompile.
     """
-    fake_b = jnp.asarray(fake_b)
-    real_b = jnp.asarray(real_b)
+    import jax
 
-    b = to_windowdata(real_b, wc, ww)
-    bb = _threshold_mask(b)
-    b_m = mask_background_to_air(b, bb)
+    global _metric_suite_jit
+    if _metric_suite_jit is None:
+        _metric_suite_jit = jax.jit(_metric_suite)
 
-    c = to_windowdata(fake_b, wc, ww) * bb
-    cc = _threshold_mask(c)
-    c_m = mask_background_to_air(c, cc)
-
-    out = {
-        "MAEw": float(masked_mae(c_m, b_m)),
-        "PSNRw": float(masked_psnr(c_m, b_m)),
-        "SSIMw": float(ssim(c_m, b_m)),
-        "UQIw": float(uqi(c_m, b_m)),
-        "MAE": float(
-            masked_mae(
-                mask_background_to_air(fake_b, cc),
-                mask_background_to_air(real_b, bb),
-            )
-        ),
-        "PSNR": float(
-            masked_psnr(
-                mask_background_to_air(fake_b, cc),
-                mask_background_to_air(real_b, bb),
-            )
-        ),
-        "SSIM": float(
-            ssim(
-                mask_background_to_air(fake_b, cc),
-                mask_background_to_air(real_b, bb),
-            )
-        ),
-        "UQI": float(
-            uqi(
-                mask_background_to_air(fake_b, cc),
-                mask_background_to_air(real_b, bb),
-            )
-        ),
-    }
+    vals = _metric_suite_jit(
+        jnp.asarray(fake_b),
+        jnp.asarray(real_b),
+        jnp.float32(wc),
+        jnp.float32(ww),
+    )
+    vals = jax.device_get(vals)
+    out = {k: float(v) for k, v in vals.items()}
     if lpips_fn is not None:
+        b = to_windowdata(jnp.asarray(real_b), wc, ww)
+        bb = _threshold_mask(b)
+        b_m = mask_background_to_air(b, bb)
+        c = to_windowdata(jnp.asarray(fake_b), wc, ww) * bb
+        cc = _threshold_mask(c)
+        c_m = mask_background_to_air(c, cc)
         out["LPIPSw"] = float(lpips_fn(c_m, b_m))
         out["LPIPS"] = float(
             lpips_fn(
-                mask_background_to_air(fake_b, cc),
-                mask_background_to_air(real_b, bb),
+                mask_background_to_air(jnp.asarray(fake_b), cc),
+                mask_background_to_air(jnp.asarray(real_b), bb),
             )
         )
     return out

@@ -88,6 +88,16 @@ class TrainerBase:
         self.state, self.tx = self._init_state()
         self._step = self._compile_step()
         self._gen_fwd = jax.jit(lambda p, a: self.g_model.apply(p, a))
+
+        def _val_step(params, a, b):
+            # G forward + both validation metrics in ONE device call —
+            # per-call tunnel latency would otherwise dominate val time
+            fake = self.g_model.apply(params, a)
+            fb = fake[0, :, :, 0].astype(jnp.float32)
+            rb = b[0, :, :, 0].astype(jnp.float32)
+            return masked_psnr(fb, rb), ssim(fb, rb)
+
+        self._val_step = jax.jit(_val_step)
         self._build_datasets()
         if config.resume:
             self._try_resume()
@@ -338,11 +348,9 @@ class TrainerBase:
         gp = self._g_params()
         for batch in loader:
             a, b = self._val_pairs(batch)
-            fake = self._gen_fwd(gp, jnp.asarray(a))
-            fb = np.asarray(fake)[0, :, :, 0]
-            rb = np.asarray(b)[0, :, :, 0]
-            psnr_sum += float(masked_psnr(fb, rb))
-            ssim_sum += float(ssim(fb, rb))
+            psnr_v, ssim_v = self._val_step(gp, jnp.asarray(a), jnp.asarray(b))
+            psnr_sum += float(psnr_v)
+            ssim_sum += float(ssim_v)
             num += 1
         if num == 0:
             return 0.0, 0.0
