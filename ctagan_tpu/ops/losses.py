@@ -61,6 +61,29 @@ def gan_loss_single(features, target_is_real):
     return lsgan_loss(pred, target_is_real)
 
 
+def feature_matching_loss(fake_feats, real_feats, n_layers=3, num_d=1):
+    """pix2pixHD feature-matching loss over multi-scale D features.
+
+    The reference allocates ``criterionGAN_feature`` (HdTrainer.py:115) and
+    its discriminators expose intermediate features (``getIntermFeat``) but
+    the live trainers never wire the loss; here it is first-class and
+    enabled with a nonzero ``FM_lamda``. Standard weighting: mean-abs over
+    all but the final (logit) map of every scale, averaged with the usual
+    4/(n_layers+1) / num_D factors, real features stop-gradiented.
+    """
+    import jax
+
+    loss = 0.0
+    d_weight = 1.0 / num_d
+    feat_weight = 4.0 / (n_layers + 1)
+    for scale_f, scale_r in zip(fake_feats, real_feats):
+        for f, r in zip(scale_f[:-1], scale_r[:-1]):
+            loss = loss + d_weight * feat_weight * l1(
+                f, jax.lax.stop_gradient(r)
+            )
+    return loss
+
+
 def masked_correlation_loss(pred, target, window_target, threshold=0.3):
     """HD stage-2 window-masked L1 (SR_loss2, HdTrainer.py:726-735).
 

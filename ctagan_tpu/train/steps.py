@@ -321,6 +321,13 @@ def reg_train_step(
             adv = adv_w * L.mse(d_out, _ones(d_out))
         total = sm + adv + sr
         aux = {"SM_loss": sm, "SR_loss": sr, "adv_loss": adv}
+        if stage2 and cfg.get("FM_lamda", 0.0) > 0.0:
+            real_out = d_model.apply(state.d_params, real_b)
+            fm = cfg["FM_lamda"] * L.feature_matching_loss(
+                d_out, real_out, num_d=len(d_out)
+            )
+            total = total + fm
+            aux["FM_loss"] = fm
         if stage2:
             sr2 = cfg["Corr_lamda2"] * L.masked_correlation_loss(
                 warped, real_b, real_b1

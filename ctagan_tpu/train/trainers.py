@@ -525,6 +525,7 @@ class RegTrainer(TrainerBase):
             "Adv_lamda1": c.Adv_lamda1,
             "Corr_lamda1": c.Corr_lamda1,
             "Corr_lamda2": c.Corr_lamda2,
+            "FM_lamda": c.FM_lamda,
             "noise_level": c.noise_level,
         }
 

@@ -34,6 +34,7 @@ class Config:
     Adv_lamda2: float = 0.1
     Corr_lamda1: float = 20.0
     Corr_lamda2: float = 2.0
+    FM_lamda: float = 0.0  # pix2pixHD feature matching (0 = reference behavior)
 
     # --- schedule ---
     epoch: int = 0  # starting epoch

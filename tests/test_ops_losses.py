@@ -52,3 +52,16 @@ def test_masked_correlation_loss():
     np.testing.assert_allclose(
         float(losses.masked_correlation_loss(pred3, target, wt)), 0.25, atol=1e-6
     )
+
+
+def test_feature_matching_loss():
+    f = [[jnp.ones((1, 4, 4, 2)), jnp.zeros((1, 2, 2, 1))]]
+    r = [[jnp.zeros((1, 4, 4, 2)), jnp.ones((1, 2, 2, 1))]]
+    # only the non-final maps count: |1-0| * (1/1) * (4/4) = 1.0
+    np.testing.assert_allclose(
+        float(losses.feature_matching_loss(f, r, n_layers=3, num_d=1)), 1.0
+    )
+    # identical features -> 0
+    np.testing.assert_allclose(
+        float(losses.feature_matching_loss(f, f, n_layers=3, num_d=1)), 0.0
+    )

@@ -167,3 +167,19 @@ def test_p2p_bfloat16_step(tmp_path, corpus):
     t = P2pTrainer(cfg, quiet=True)
     t.train(max_steps_per_epoch=1)
     _losses_finite(t)
+
+
+def test_p2p_training_is_deterministic(tmp_path, corpus):
+    """Same seed -> bit-identical params after training (the reference's
+    per-item reseeding defeats its own global seed, SURVEY.md §5 — explicit
+    PRNG-key threading makes determinism exact here)."""
+    def run(tag):
+        cfg = _config(tmp_path, corpus, name="P2p", size=64,
+                      save_root=str(tmp_path / f"m{tag}") + "/")
+        t = P2pTrainer(cfg, quiet=True)
+        t.train(max_steps_per_epoch=2)
+        return jax.device_get(t.state.g_params)
+
+    g1, g2 = run("a"), run("b")
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
