@@ -202,9 +202,23 @@ class TrainerBase:
             "lr": self.lr,
             "lr_d": self.lr_d,
         }
+        if self.config.checkpoint_backend == "orbax":
+            from ctagan_tpu.utils.checkpoint import save_checkpoint_orbax
+
+            return save_checkpoint_orbax(
+                self.config.save_root, self.ckpt_prefix, epoch, payload,
+                psnr, ssim_v,
+            )
         return save_checkpoint(
             self.config.save_root, self.ckpt_prefix, epoch, payload, psnr, ssim_v
         )
+
+    def _load_payload(self, path, target):
+        if path.endswith(".ocp"):
+            from ctagan_tpu.utils.checkpoint import load_checkpoint_orbax
+
+            return load_checkpoint_orbax(path, target)
+        return load_checkpoint(path, target)
 
     def _try_resume(self):
         found = find_latest_checkpoint(self.config.save_root, self.ckpt_prefix)
@@ -217,7 +231,7 @@ class TrainerBase:
             "lr": 0.0,
             "lr_d": 0.0,
         }
-        payload = load_checkpoint(path, target)
+        payload = self._load_payload(path, target)
         self.state = jax.device_put(payload["state"])
         self.start_epoch = int(payload["epoch"])
         self.lr = float(payload["lr"])
@@ -238,7 +252,7 @@ class TrainerBase:
             "lr": 0.0,
             "lr_d": 0.0,
         }
-        payload = load_checkpoint(path, target)
+        payload = self._load_payload(path, target)
         self._set_g_params(jax.device_put(payload["state"].g_params))
 
     # -- loops --------------------------------------------------------------

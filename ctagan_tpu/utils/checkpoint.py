@@ -55,14 +55,70 @@ def load_checkpoint(path: str, target: Any) -> Any:
 def find_latest_checkpoint(
     save_root: str, prefix: str
 ) -> Optional[Tuple[str, int]]:
-    """Newest checkpoint (by epoch) for a prefix; returns (path, epoch)."""
+    """Newest checkpoint (by epoch) for a prefix; returns (path, epoch).
+    Recognizes both msgpack files and orbax directories (``.ocp`` suffix)."""
     if not os.path.isdir(save_root):
         return None
     best: Optional[Tuple[str, int]] = None
     for fn in os.listdir(save_root):
-        m = _CKPT_RE.match(fn)
+        name = fn[:-4] + ".ckpt" if fn.endswith(".ocp") else fn
+        m = _CKPT_RE.match(name)
         if m and m.group("prefix") == prefix:
             ep = int(m.group("epoch"))
             if best is None or ep > best[1]:
                 best = (os.path.join(save_root, fn), ep)
     return best
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (async-capable; SURVEY.md §5 "Orbax-style checkpointing")
+# ---------------------------------------------------------------------------
+
+_orbax_ckptr = None
+
+
+def _get_orbax(async_save: bool = True):
+    global _orbax_ckptr
+    if _orbax_ckptr is None:
+        import orbax.checkpoint as ocp
+
+        _orbax_ckptr = (
+            ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+            if async_save
+            else ocp.StandardCheckpointer()
+        )
+    return _orbax_ckptr
+
+
+def save_checkpoint_orbax(
+    save_root: str,
+    prefix: str,
+    epoch: int,
+    state: Any,
+    psnr: Optional[float] = None,
+    ssim: Optional[float] = None,
+) -> str:
+    """Non-blocking (async) orbax save: training proceeds while the previous
+    checkpoint flushes to disk — the reference blocks on torch.save each
+    epoch."""
+    os.makedirs(save_root, exist_ok=True)
+    name = checkpoint_name(prefix, epoch, psnr, ssim)[: -len(".ckpt")] + ".ocp"
+    path = os.path.abspath(os.path.join(save_root, name))
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    _get_orbax().save(path, state)
+    return path
+
+
+def load_checkpoint_orbax(path: str, target: Any) -> Any:
+    ckptr = _get_orbax()
+    ckptr.wait_until_finished()
+    return ckptr.restore(os.path.abspath(path), target)
+
+
+def wait_for_checkpoints():
+    """Block until pending async orbax saves are durable (call at exit)."""
+    if _orbax_ckptr is not None:
+        _orbax_ckptr.wait_until_finished()

@@ -62,6 +62,7 @@ class Config:
     decay_mode: str = "reference"  # 'reference' (accelerating quirk) | 'linear'
     unaligned: bool = False  # unpaired B sampling (CycleGAN-style)
     remat: bool = False  # rematerialize generator residual blocks
+    checkpoint_backend: str = "msgpack"  # 'msgpack' | 'orbax' (async saves)
     data_parallel: bool = True  # shard batch over all local devices
     val_every: int = 5  # epochs between validations (reference: hardcoded 5)
     log_every: int = 50  # steps between stdout log lines
@@ -84,6 +85,8 @@ class Config:
             raise ValueError(f"unknown compute_dtype {self.compute_dtype}")
         if self.decay_mode not in ("reference", "linear"):
             raise ValueError(f"unknown decay_mode {self.decay_mode}")
+        if self.checkpoint_backend not in ("msgpack", "orbax"):
+            raise ValueError(f"unknown checkpoint_backend {self.checkpoint_backend}")
         if self.batchSize < 1:
             raise ValueError("batchSize must be >= 1")
         return self

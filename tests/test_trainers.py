@@ -183,3 +183,22 @@ def test_p2p_training_is_deterministic(tmp_path, corpus):
     g1, g2 = run("a"), run("b")
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_checkpoint_backend(tmp_path, corpus):
+    cfg = _config(tmp_path, corpus, name="P2p", checkpoint_backend="orbax")
+    t = P2pTrainer(cfg, quiet=True)
+    t.train(max_steps_per_epoch=1)
+    from ctagan_tpu.utils.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()
+    ckpts = [f for f in os.listdir(cfg.save_root) if f.endswith(".ocp")]
+    assert ckpts
+    g_before = jax.device_get(t.state.g_params)
+    cfg2 = _config(tmp_path, corpus, name="P2p", resume=True,
+                   checkpoint_backend="orbax")
+    t2 = P2pTrainer(cfg2, quiet=True)
+    assert t2.start_epoch >= 1
+    for a, b in zip(jax.tree.leaves(g_before),
+                    jax.tree.leaves(jax.device_get(t2.state.g_params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
