@@ -595,8 +595,13 @@ class HdTrainerStage2(RegTrainer):
     def _build_models(self):
         cfg = self.config
         self.r_model = RegNet(cfg.input_nc, cfg.input_nc, dtype=_dtype(cfg))
+        # reference defaults: num_D=1, center-crop pyramid (HdGan.py:208,251);
+        # both overridable from YAML extras for multi-scale experiments
         self.d_model = MultiScaleDiscriminator(
-            cfg.input_nc, num_d=1, dtype=_dtype(cfg)
+            cfg.input_nc,
+            num_d=int(cfg.extras.get("num_d", 1)),
+            pyramid=str(cfg.extras.get("pyramid", "center_crop")),
+            dtype=_dtype(cfg),
         )
 
     def _compile_step(self):

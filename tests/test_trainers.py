@@ -202,3 +202,11 @@ def test_orbax_checkpoint_backend(tmp_path, corpus):
     for a, b in zip(jax.tree.leaves(g_before),
                     jax.tree.leaves(jax.device_get(t2.state.g_params))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hd_stage2_multiscale_num_d2(tmp_path, corpus):
+    cfg = _config(tmp_path, corpus, name="HdGan2", size=128)
+    cfg.extras["num_d"] = 2
+    t = HdTrainerStage2(cfg, quiet=True)
+    t.train(max_steps_per_epoch=1)
+    _losses_finite(t)
