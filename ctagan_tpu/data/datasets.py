@@ -86,6 +86,7 @@ class PairedSliceDataset:
         sort: bool = True,
         unaligned: bool = False,
         size: Optional[int] = None,
+        context_slices: int = 1,
     ):
         files_a = _read_list(list_file)
         if sort:
@@ -94,6 +95,21 @@ class PairedSliceDataset:
         self.files_b = _pair(files_a)
         self.unaligned = unaligned
         self.size = size
+        # 2.5-D context: the input A becomes ``context_slices`` adjacent
+        # slices of the same series stacked on channels (center slice is the
+        # prediction target's partner). New capability vs the reference's
+        # strictly per-slice pipeline — see BASELINE.json full-volume config.
+        if context_slices % 2 != 1:
+            raise ValueError("context_slices must be odd")
+        self.context_slices = context_slices
+        if context_slices > 1:
+            self._series_index = {}
+            by_series: Dict[str, List[int]] = {}
+            for i, p in enumerate(files_a):
+                by_series.setdefault(os.path.dirname(p), []).append(i)
+            for series, idxs in by_series.items():
+                for pos, i in enumerate(idxs):
+                    self._series_index[i] = (idxs, pos)
 
     def __len__(self):
         return len(self.files_a)
@@ -103,6 +119,17 @@ class PairedSliceDataset:
         if self.size:
             img = _resize_nearest_np(img, self.size)
         return img[..., None]
+
+    def _load_context(self, index: int) -> np.ndarray:
+        """Stack the +-k neighboring slices (clamped at series edges) of the
+        A-side series on the channel axis."""
+        idxs, pos = self._series_index[index]
+        half = self.context_slices // 2
+        chans = []
+        for off in range(-half, half + 1):
+            j = idxs[min(max(pos + off, 0), len(idxs) - 1)]
+            chans.append(self._load(self.files_a[j])[..., 0])
+        return np.stack(chans, axis=-1)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         a_path = self.files_a[index % len(self.files_a)]
@@ -116,7 +143,11 @@ class PairedSliceDataset:
             b_path = self.files_b[int(rng.integers(0, len(self.files_b)))]
         else:
             b_path = self.files_b[index % len(self.files_b)]
-        item = {"A": self._load(a_path), "B": self._load(b_path)}
+        if self.context_slices > 1:
+            a_img = self._load_context(index % len(self.files_a))
+        else:
+            a_img = self._load(a_path)
+        item = {"A": a_img, "B": self._load(b_path)}
         item["A_path"] = a_path
         return item
 

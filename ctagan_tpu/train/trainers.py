@@ -69,6 +69,10 @@ class TrainerBase:
     dual_window: bool = False
 
     def __init__(self, config: Config, quiet: bool = False):
+        if config.context_slices > 1 and self.family != "p2p":
+            raise ValueError(
+                "context_slices > 1 is supported by the P2p family only"
+            )
         self.config = config
         self.quiet = quiet
         self.mesh = make_mesh() if config.data_parallel else make_mesh(n=1)
@@ -79,7 +83,7 @@ class TrainerBase:
         self._current_epoch = self.start_epoch
         self.key = jax.random.PRNGKey(config.seed)
         self.g_model = Generator(
-            config.input_nc,
+            config.input_nc * config.context_slices,
             config.output_nc,
             dtype=_dtype(config),
             remat=config.remat,
@@ -131,12 +135,17 @@ class TrainerBase:
             self.config.train_list,
             size=self.config.size,
             unaligned=self.config.unaligned,
+            context_slices=self.config.context_slices,
         )
 
     def _make_eval_dataset(self, list_file):
         if self.dual_window:
             return DualWindowDataset(list_file, size=self.config.size)
-        return PairedSliceDataset(list_file, size=self.config.size)
+        return PairedSliceDataset(
+            list_file,
+            size=self.config.size,
+            context_slices=self.config.context_slices,
+        )
 
     def _build_datasets(self):
         cfg = self.config
@@ -448,8 +457,9 @@ class P2pTrainer(TrainerBase):
 
     def _build_models(self):
         cfg = self.config
+        # conditional D sees the (possibly 2.5-D) input stack + the output
         self.d_model = Discriminator(
-            cfg.input_nc + cfg.output_nc, dtype=_dtype(cfg)
+            cfg.input_nc * cfg.context_slices + cfg.output_nc, dtype=_dtype(cfg)
         )
 
     def _init_state(self):
@@ -459,7 +469,7 @@ class P2pTrainer(TrainerBase):
             self.d_model,
             k,
             self.config.size,
-            self.config.input_nc,
+            self.config.input_nc * self.config.context_slices,
             self.config.output_nc,
         )
 

@@ -219,3 +219,17 @@ def test_unaligned_resamples_across_accesses(corpus, tmp_path):
         return
     draws1 = [ds[0]["B"].sum() for _ in range(20)]
     assert len({float(x) for x in draws1}) > 1
+
+
+def test_context_slices_dataset(corpus):
+    _, lists = corpus
+    import numpy as np
+    ds = PairedSliceDataset(lists["train"], context_slices=3)
+    item = ds[0]
+    assert item["A"].shape == (32, 32, 3)
+    assert item["B"].shape == (32, 32, 1)
+    # center channel == the plain single-slice read
+    plain = PairedSliceDataset(lists["train"])[0]["A"]
+    np.testing.assert_array_equal(item["A"][..., 1:2], plain)
+    # series edges clamp (first slice: ch0 == ch1)
+    np.testing.assert_array_equal(item["A"][..., 0], item["A"][..., 1])

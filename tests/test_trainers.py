@@ -210,3 +210,18 @@ def test_hd_stage2_multiscale_num_d2(tmp_path, corpus):
     t = HdTrainerStage2(cfg, quiet=True)
     t.train(max_steps_per_epoch=1)
     _losses_finite(t)
+
+
+def test_p2p_context_slices_25d(tmp_path, corpus):
+    cfg = _config(tmp_path, corpus, name="P2p", size=64, context_slices=3)
+    t = P2pTrainer(cfg, quiet=True)
+    t.train(max_steps_per_epoch=1)
+    _losses_finite(t)
+    psnr, _ = t.validate()
+    assert np.isfinite(psnr)
+
+
+def test_context_slices_rejected_for_other_families(tmp_path, corpus):
+    cfg = _config(tmp_path, corpus, name="CycleGan", context_slices=3)
+    with pytest.raises(ValueError):
+        CycTrainer(cfg, quiet=True)
