@@ -44,3 +44,28 @@ def test_sliding_window_one_small_dimension():
     )
     out = sliding_window(lambda p, x: x * 0.5, None, img, tile=48, overlap=0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(img) * 0.5, atol=1e-5)
+
+
+def test_infer_series_writes_se2(tmp_path):
+    from ctagan_tpu.data.fixtures import make_corpus
+    from ctagan_tpu.parallel.serve import infer_series, load_series_fullrange
+    from ctagan_tpu.train import P2pTrainer
+    from ctagan_tpu.utils.config import load_config
+    from ctagan_tpu.data.dicom import read_dicom
+    import os
+
+    lists = make_corpus(str(tmp_path / "c"), n_patients=1, slices_per_patient=3, size=32)
+    cfg = load_config(dict(
+        name="P2p", size=32, train_list=lists["train"], val_list=lists["val"],
+        test_list=lists["test"], save_root=str(tmp_path / "m") + "/",
+        image_save=str(tmp_path / "i") + "/", n_cpu=1, data_parallel=False,
+    ))
+    t = P2pTrainer(cfg, quiet=True)
+    series_dir = os.path.join(str(tmp_path), "c", "patient0", "ST0", "SE0")
+    vol, paths = load_series_fullrange(series_dir, size=32)
+    assert vol.shape[0] == len(paths) >= 1
+    out = infer_series(t, series_dir, cfg.image_save)
+    files = os.listdir(out)
+    assert len(files) == len(paths)
+    ds = read_dicom(os.path.join(out, files[0]))
+    assert ds.pixel_array().shape == (32, 32)
