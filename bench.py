@@ -44,18 +44,18 @@ def bench_inference(batch: int = 32, size: int = 512, dtype: str = "bfloat16", i
         .uniform(-1, 1, (batch, size, size, 1))
         .astype(np.float32)
     )
-    # NOTE: through the axon tunnel block_until_ready can return before the
-    # device finishes, so every timing sample forces a scalar round-trip
-    # (float() of one output element executes the whole program). The first
-    # synced call absorbs weight upload + pipeline warmup and is excluded.
+    # Pipelined methodology: dispatch ``iters`` forwards then pull one
+    # element of the LAST output — device programs execute in order, so the
+    # pull waits for the whole train of work while per-call tunnel latency
+    # overlaps (production serving runs exactly this way). NOTE:
+    # block_until_ready is unreliable through the axon tunnel; a scalar
+    # pull is the only trustworthy sync (see CLAUDE.md).
     float(forward(params, x)[0, 0, 0, 0])  # compile + warm + full sync
     float(forward(params, x)[0, 0, 0, 0])  # steady-state warm
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        float(forward(params, x)[0, 0, 0, 0])
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    t0 = time.perf_counter()
+    outs = [forward(params, x) for _ in range(iters)]
+    float(outs[-1][0, 0, 0, 0])
+    dt = (time.perf_counter() - t0) / iters
     return batch / dt, dt
 
 
@@ -99,13 +99,14 @@ def bench_train_step(size: int = 512, dtype: str = "bfloat16", iters: int = 10):
     float(losses["toal_loss"])  # full sync (see bench_inference note)
     state, losses = step(state, batch, lr)
     float(losses["toal_loss"])
-    times = []
+    # pipelined: steps chain through the carried state; pulling the final
+    # loss drains the whole train of work (matches the real training loop,
+    # which syncs only at log points)
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         state, losses = step(state, batch, lr)
-        float(losses["toal_loss"])
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    float(losses["toal_loss"])
+    dt = (time.perf_counter() - t0) / iters
     return 1.0 / dt, dt
 
 
