@@ -102,6 +102,18 @@ class TrainerBase:
             return masked_psnr(fb, rb), ssim(fb, rb)
 
         self._val_step = jax.jit(_val_step)
+
+        def _test_step(params, a, b, wc, ww):
+            # G forward + the full 8-metric window/raw suite in ONE call;
+            # the synthetic slice comes back for DICOM writeback
+            from ctagan_tpu.train.evaluation import _metric_suite
+
+            fake = self.g_model.apply(params, a)
+            fb = fake[0, :, :, 0].astype(jnp.float32)
+            rb = b[0, :, :, 0].astype(jnp.float32)
+            return fb, _metric_suite(fb, rb, wc, ww)
+
+        self._test_step = jax.jit(_test_step)
         self._build_datasets()
         if config.resume:
             self._try_resume()
@@ -428,13 +440,23 @@ class TrainerBase:
 
         for batch in loader:
             a, b = self._val_pairs(batch)
-            fake = np.asarray(self._gen_fwd(gp, jnp.asarray(a)))[0, :, :, 0]
-            real = np.asarray(b)[0, :, :, 0]
             a_path = batch["A_path"][0]
             ds1 = _rd(a_path.replace("SE0", "SE1"))
             wc = ds1.window_center or 50.0
             ww = ds1.window_width or 400.0
-            rows.append(evaluate_pair(fake, real, wc, ww, lpips_fn=lpips_fn))
+            if lpips_fn is None:
+                fake_dev, metrics_dev = self._test_step(
+                    gp, jnp.asarray(a), jnp.asarray(b),
+                    jnp.float32(wc), jnp.float32(ww),
+                )
+                fake = np.asarray(fake_dev)
+                rows.append(
+                    {k: float(v) for k, v in jax.device_get(metrics_dev).items()}
+                )
+            else:  # LPIPS path keeps the modular evaluator
+                fake = np.asarray(self._gen_fwd(gp, jnp.asarray(a)))[0, :, :, 0]
+                real = np.asarray(b)[0, :, :, 0]
+                rows.append(evaluate_pair(fake, real, wc, ww, lpips_fn=lpips_fn))
             if writeback is not None:
                 writeback.write(a_path, fake)
         agg = aggregate(rows)
