@@ -70,6 +70,61 @@ def warp2d(src, flow):
     return grid_sample_border(src, yy + flow[..., 0], xx + flow[..., 1])
 
 
+def warp2d_local(src, flow, max_displacement: int = 4):
+    """Gather-free dense warp for locally-bounded flows (TPU fast path).
+
+    TPUs have no hardware gather: the general ``warp2d`` costs ~11 ms fwd /
+    ~18 ms bwd at 512² (XLA lowers arbitrary gathers/scatters serially).
+    Registration flows are near-identity by construction (zero-init head +
+    smoothness loss), so the warp can be rewritten as a dense sum of
+    **shifted** images with elementwise masks:
+
+        out = sum_{o in [-R, R+1]^2}  W_o * shift_o(src)
+
+    where ``W_o`` selects, per pixel, the bilinear taps whose integer offset
+    equals ``o``. Shifts are static slices of an edge-padded buffer — pure
+    VPU work, trivially differentiable (the backward is the transposed
+    stack of shifts — no scatter). Exact equivalence with ``warp2d`` for
+    ``|flow| <= max_displacement``; larger displacements saturate at R
+    (clamped), which the smoothness prior keeps rare.
+
+    Cost grows as (2R+2)^2 masked FMAs — R=4 ≈ 100 terms (~1 ms at 512²).
+    """
+    n, h, w, _ = flow.shape
+    r = int(max_displacement)
+    fy = jnp.clip(flow[..., 0], -r, r)
+    fx = jnp.clip(flow[..., 1], -r, r)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (n, h, w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (n, h, w), 2)
+    # border clamp keeps |effective displacement| <= |flow| <= R
+    dy = jnp.clip(yy + fy, 0.0, h - 1.0) - yy
+    dx = jnp.clip(xx + fx, 0.0, w - 1.0) - xx
+    y0 = jnp.floor(dy)
+    x0 = jnp.floor(dx)
+    wy = (dy - y0)[..., None]
+    wx = (dx - x0)[..., None]
+
+    padded = jnp.pad(
+        src, ((0, 0), (r + 1, r + 1), (r + 1, r + 1), (0, 0)), mode="edge"
+    )
+    out = jnp.zeros_like(src)
+    for oy in range(-r, r + 2):
+        sel_y = ((y0 == oy) * (1.0 - wy[..., 0]) + (y0 == oy - 1) * wy[..., 0])[
+            ..., None
+        ]
+        for ox in range(-r, r + 2):
+            sel_x = (
+                (x0 == ox) * (1.0 - wx[..., 0]) + (x0 == ox - 1) * wx[..., 0]
+            )[..., None]
+            shifted = jax.lax.dynamic_slice(
+                padded,
+                (0, r + 1 + oy, r + 1 + ox, 0),
+                (n, h, w, src.shape[-1]),
+            )
+            out = out + sel_y * sel_x * shifted
+    return out
+
+
 def smoothing_loss(flow):
     """Mean squared forward-difference of the flow field (utils.py:165-173).
 

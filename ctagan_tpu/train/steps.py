@@ -35,7 +35,7 @@ from flax import struct
 
 from ctagan_tpu.ops import losses as L
 from ctagan_tpu.ops.augment import random_affine
-from ctagan_tpu.ops.warp import smoothing_loss, warp2d
+from ctagan_tpu.ops.warp import smoothing_loss, warp2d, warp2d_local
 from ctagan_tpu.train.replay_buffer import ReplayBuffer, push_and_pop
 
 Params = Any
@@ -307,11 +307,20 @@ def reg_train_step(
     if lr_d is None:
         lr_d = lr
 
+    # warp_max_disp > 0 selects the gather-free local warp (TPU fast path;
+    # exact for |flow| <= R, saturating beyond — see ops.warp.warp2d_local)
+    warp_r = int(cfg.get("warp_max_disp", 0))
+
+    def _warp(x, f):
+        if warp_r > 0:
+            return warp2d_local(x, f, warp_r)
+        return warp2d(x, f)
+
     def gr_loss_fn(params):
         gp, rp = params
         fake_b = g_model.apply(gp, real_a)
         flow = r_model.apply(rp, fake_b, real_b)
-        warped = warp2d(fake_b, flow)
+        warped = _warp(fake_b, flow)
         sm = smooth_w * smoothing_loss(flow)
         sr = corr_w * L.l1(warped, real_b)
         d_out = d_model.apply(state.d_params, fake_b)

@@ -573,6 +573,7 @@ class RegTrainer(TrainerBase):
             "Corr_lamda2": c.Corr_lamda2,
             "FM_lamda": c.FM_lamda,
             "noise_level": c.noise_level,
+            "warp_max_disp": c.warp_max_disp,
         }
 
     def _compile_step(self):

@@ -84,3 +84,49 @@ def test_grid_sample_border_arbitrary_coords():
     out = np.asarray(grid_sample_border(src, cy, cx))
     np.testing.assert_allclose(out[0, 0, 0, 0], (0 + 1 + 4 + 5) / 4.0)
     np.testing.assert_allclose(out[0, 0, 1, 0], 11.0)
+
+
+@pytest.mark.parametrize("r", [2, 4])
+def test_warp2d_local_matches_exact_for_small_flows(r):
+    from ctagan_tpu.ops.warp import warp2d_local
+
+    rng = np.random.default_rng(10)
+    src = jnp.asarray(rng.standard_normal((2, 24, 20, 1)).astype(np.float32))
+    flow = jnp.asarray(
+        (rng.uniform(-1, 1, (2, 24, 20, 2)) * (r - 0.5)).astype(np.float32)
+    )
+    exact = warp2d(src, flow)
+    fast = warp2d_local(src, flow, max_displacement=r)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact), atol=2e-5)
+
+
+def test_warp2d_local_zero_flow_identity():
+    from ctagan_tpu.ops.warp import warp2d_local
+
+    src = jnp.asarray(
+        np.random.default_rng(11).standard_normal((1, 16, 16, 1)).astype(np.float32)
+    )
+    out = warp2d_local(src, jnp.zeros((1, 16, 16, 2)), max_displacement=3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(src), atol=1e-6)
+
+
+def test_warp2d_local_saturates_large_flows():
+    from ctagan_tpu.ops.warp import warp2d_local
+
+    src = jnp.arange(16.0).reshape(1, 4, 4, 1)
+    big = jnp.full((1, 4, 4, 2), 100.0)
+    out = warp2d_local(src, big, max_displacement=2)
+    # displacement saturates at +2 (clamped), not at the border like warp2d
+    exact_clamped = warp2d(src, jnp.full((1, 4, 4, 2), 2.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exact_clamped), atol=1e-6)
+
+
+def test_warp2d_local_differentiable():
+    from ctagan_tpu.ops.warp import warp2d_local
+
+    src = jnp.ones((1, 8, 8, 1))
+    flow = jnp.full((1, 8, 8, 2), 0.3)
+    gs, gf = jax.grad(
+        lambda s, f: jnp.sum(warp2d_local(s, f, 2) ** 2), argnums=(0, 1)
+    )(src, flow)
+    assert np.all(np.isfinite(np.asarray(gs))) and np.all(np.isfinite(np.asarray(gf)))

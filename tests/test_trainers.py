@@ -225,3 +225,10 @@ def test_context_slices_rejected_for_other_families(tmp_path, corpus):
     cfg = _config(tmp_path, corpus, name="CycleGan", context_slices=3)
     with pytest.raises(ValueError):
         CycTrainer(cfg, quiet=True)
+
+
+def test_reggan_fast_warp_option(tmp_path, corpus):
+    cfg = _config(tmp_path, corpus, name="RegGan", size=128, warp_max_disp=4)
+    t = RegTrainer(cfg, quiet=True)
+    t.train(max_steps_per_epoch=1)
+    _losses_finite(t)
