@@ -30,7 +30,7 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+            ["g++", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-o", _SO, _SRC],
             check=True,
             capture_output=True,
             timeout=120,
