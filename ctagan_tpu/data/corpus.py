@@ -232,9 +232,30 @@ def make_equip_split(list_file: str, out_dir: str) -> Dict[str, str]:
 if __name__ == "__main__":
     import argparse
 
-    ap = argparse.ArgumentParser(description="Build corpus list files")
-    ap.add_argument("root", help="DICOM tree root (patient/ST*/SE* layout)")
-    ap.add_argument("--out", default="./data", help="output dir for lists")
+    ap = argparse.ArgumentParser(description="Corpus engineering CLI")
+    ap.add_argument("root", help="DICOM tree root (or a list file for "
+                    "--stats/--equip-split)")
+    ap.add_argument("--out", default="./data", help="output dir")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--stats", action="store_true",
+                    help="print demographics/vendor stats for a list file")
+    ap.add_argument("--equip-split", action="store_true",
+                    help="write per-manufacturer test lists for a list file")
+    ap.add_argument("--register", metavar="PATIENT",
+                    help="rigid-align a patient's CTA onto the NCCT in-place")
     args = ap.parse_args()
-    build_lists(args.root, args.out, seed=args.seed)
+    if args.stats:
+        st = statistic(args.root)
+        print(
+            f"patients {st.patients}, slices {st.slices}, "
+            f"by_vendor {st.by_manufacturer}, by_sex {st.by_sex}, "
+            f"mean_age {sum(st.ages)/len(st.ages):.1f}" if st.ages else "n/a"
+        )
+    elif args.equip_split:
+        print(make_equip_split(args.root, args.out))
+    elif args.register:
+        from ctagan_tpu.data.registration import register_translation
+
+        print("shift:", register_translation(args.root, args.register))
+    else:
+        build_lists(args.root, args.out, seed=args.seed)
