@@ -310,16 +310,34 @@ def reg_train_step(
     # warp_max_disp > 0 selects the gather-free local warp (TPU fast path;
     # exact for |flow| <= R, saturating beyond — see ops.warp.warp2d_local)
     warp_r = int(cfg.get("warp_max_disp", 0))
+    # reg_downsample > 1 runs the registration net at reduced resolution and
+    # bilinearly upsamples the (smooth) flow, rescaling displacements —
+    # the ResUNet's full-res top level dominates its cost (CLAUDE.md).
+    reg_ds = int(cfg.get("reg_downsample", 1))
 
     def _warp(x, f):
         if warp_r > 0:
             return warp2d_local(x, f, warp_r)
         return warp2d(x, f)
 
+    def _predict_flow(rp, moving, fixed):
+        if reg_ds <= 1:
+            return r_model.apply(rp, moving, fixed)
+        from ctagan_tpu.ops.resize import interpolate_bilinear
+
+        h, w = moving.shape[1], moving.shape[2]
+        small = (h // reg_ds, w // reg_ds)
+        flow_s = r_model.apply(
+            rp,
+            interpolate_bilinear(moving, small),
+            interpolate_bilinear(fixed, small),
+        )
+        return interpolate_bilinear(flow_s, (h, w)) * float(reg_ds)
+
     def gr_loss_fn(params):
         gp, rp = params
         fake_b = g_model.apply(gp, real_a)
-        flow = r_model.apply(rp, fake_b, real_b)
+        flow = _predict_flow(rp, fake_b, real_b)
         warped = _warp(fake_b, flow)
         sm = smooth_w * smoothing_loss(flow)
         sr = corr_w * L.l1(warped, real_b)

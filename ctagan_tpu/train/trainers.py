@@ -574,6 +574,7 @@ class RegTrainer(TrainerBase):
             "FM_lamda": c.FM_lamda,
             "noise_level": c.noise_level,
             "warp_max_disp": c.warp_max_disp,
+            "reg_downsample": c.reg_downsample,
         }
 
     def _compile_step(self):

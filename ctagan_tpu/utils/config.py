@@ -65,6 +65,7 @@ class Config:
     checkpoint_backend: str = "msgpack"  # 'msgpack' | 'orbax' (async saves)
     context_slices: int = 1  # 2.5-D input context (odd; 1 = reference behavior)
     warp_max_disp: int = 0  # >0: gather-free local warp with this radius (px)
+    reg_downsample: int = 1  # >1: registration net at reduced resolution
     data_parallel: bool = True  # shard batch over all local devices
     val_every: int = 5  # epochs between validations (reference: hardcoded 5)
     log_every: int = 50  # steps between stdout log lines

@@ -232,3 +232,13 @@ def test_reggan_fast_warp_option(tmp_path, corpus):
     t = RegTrainer(cfg, quiet=True)
     t.train(max_steps_per_epoch=1)
     _losses_finite(t)
+
+
+def test_reggan_downsampled_registration(tmp_path, corpus):
+    cfg = _config(
+        tmp_path, corpus, name="RegGan", size=256, reg_downsample=2,
+        warp_max_disp=4,
+    )
+    t = RegTrainer(cfg, quiet=True)
+    t.train(max_steps_per_epoch=1)
+    _losses_finite(t)
