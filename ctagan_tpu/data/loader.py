@@ -18,6 +18,14 @@ import numpy as np
 _SENTINEL = object()
 
 
+class _DecodeError:
+    """Marker carrying a worker-side exception to the consumer thread."""
+
+    def __init__(self, index, error):
+        self.index = index
+        self.error = error
+
+
 def _collate(items) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     paths = {}
@@ -109,7 +117,10 @@ class PrefetchLoader:
                     bi, j, di = idx_queue.get_nowait()
                 except queue.Empty:
                     return
-                item = self.dataset[di]
+                try:
+                    item = self.dataset[di]
+                except Exception as e:  # surface decode errors, never hang
+                    item = _DecodeError(di, e)
                 with lock:
                     item_results[(bi, j)] = item  # type: ignore[index]
 
@@ -128,7 +139,12 @@ class PrefetchLoader:
                             if done.is_set():
                                 return
                             threading.Event().wait(0.001)
-                    batch_out = _collate(items)
+                    for it in items:
+                        if isinstance(it, _DecodeError):
+                            batch_out = it
+                            break
+                    else:
+                        batch_out = _collate(items)
                     while True:  # bounded put that honors abandonment
                         try:
                             out_queue.put(batch_out, timeout=0.1)
@@ -158,6 +174,10 @@ class PrefetchLoader:
                 batch = out_queue.get()
                 if batch is _SENTINEL:
                     break
+                if isinstance(batch, _DecodeError):
+                    raise RuntimeError(
+                        f"failed to decode dataset item {batch.index}"
+                    ) from batch.error
                 yield batch
         finally:
             done.set()

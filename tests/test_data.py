@@ -233,3 +233,20 @@ def test_context_slices_dataset(corpus):
     np.testing.assert_array_equal(item["A"][..., 1:2], plain)
     # series edges clamp (first slice: ch0 == ch1)
     np.testing.assert_array_equal(item["A"][..., 0], item["A"][..., 1])
+
+
+def test_loader_surfaces_decode_errors(corpus):
+    _, lists = corpus
+
+    class Broken:
+        def __len__(self):
+            return 4
+        def __getitem__(self, i):
+            if i == 2:
+                raise IOError("corrupt DICOM")
+            import numpy as np
+            return {"A": np.zeros((2, 2, 1), np.float32)}
+
+    loader = PrefetchLoader(Broken(), batch_size=1)
+    with pytest.raises(RuntimeError, match="item 2"):
+        list(loader)
