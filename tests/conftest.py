@@ -17,3 +17,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the trainer e2e tests are compile-dominated
+# (~17 min cold); repeat runs drop to a few minutes
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
