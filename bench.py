@@ -53,8 +53,9 @@ def bench_inference(batch: int = 32, size: int = 512, dtype: str = "bfloat16", i
     float(forward(params, x)[0, 0, 0, 0])  # compile + warm + full sync
     float(forward(params, x)[0, 0, 0, 0])  # steady-state warm
     t0 = time.perf_counter()
-    outs = [forward(params, x) for _ in range(iters)]
-    float(outs[-1][0, 0, 0, 0])
+    for _ in range(iters):
+        out = forward(params, x)  # earlier outputs are freed as we go
+    float(out[0, 0, 0, 0])
     dt = (time.perf_counter() - t0) / iters
     return batch / dt, dt
 

@@ -246,10 +246,11 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.stats:
         st = statistic(args.root)
+        mean_age = f"{sum(st.ages)/len(st.ages):.1f}" if st.ages else "n/a"
         print(
             f"patients {st.patients}, slices {st.slices}, "
             f"by_vendor {st.by_manufacturer}, by_sex {st.by_sex}, "
-            f"mean_age {sum(st.ages)/len(st.ages):.1f}" if st.ages else "n/a"
+            f"mean_age {mean_age}"
         )
     elif args.equip_split:
         print(make_equip_split(args.root, args.out))

@@ -28,16 +28,21 @@ _tried = False
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-o", _SO, _SRC],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return True
-    except Exception:
-        return False
+    """Build locally (the .so is never committed — it is host-ISA-specific:
+    -march=native output SIGILLs on older CPUs). Falls back to plain -O3
+    when the native-arch build fails."""
+    for flags in (["-O3", "-march=native", "-funroll-loops"], ["-O3"]):
+        try:
+            subprocess.run(
+                ["g++", *flags, "-shared", "-fPIC", "-o", _SO, _SRC],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

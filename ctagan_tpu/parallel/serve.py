@@ -55,9 +55,20 @@ def infer_series(trainer, series_dir: str, out_root: str) -> str:
     g_model = trainer.g_model
     params = trainer._g_params()
 
-    fake = infer_volume(
-        lambda p, x: g_model.apply(p, x), params, volume, mesh=trainer.mesh
-    )
+    ctx = int(getattr(cfg, "context_slices", 1))
+    if ctx > 1:
+        # 2.5-D models: stack +-k neighboring slices on channels (edge clamp)
+        half = ctx // 2
+        n = volume.shape[0]
+        idx = [np.clip(np.arange(n) + off, 0, n - 1) for off in range(-half, half + 1)]
+        stacked = np.stack([volume[i] for i in idx], axis=-1)
+        fake = infer_volume(
+            lambda p, x: g_model.apply(p, x), params, stacked, mesh=trainer.mesh
+        )
+    else:
+        fake = infer_volume(
+            lambda p, x: g_model.apply(p, x), params, volume, mesh=trainer.mesh
+        )
 
     out_dir = os.path.join(out_root, "volume", "SE2")
     os.makedirs(out_dir, exist_ok=True)

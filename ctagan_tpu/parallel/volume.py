@@ -31,13 +31,14 @@ def infer_volume(
     batch_per_device: int = 4,
 ) -> np.ndarray:
     """Run ``apply_fn(params, x)`` (NHWC in/out) over every slice of
-    ``volume`` (N, H, W), data-parallel over the mesh. Returns (N, H, W).
+    ``volume`` — (N, H, W) single-channel or (N, H, W, C) pre-stacked
+    (2.5-D context) — data-parallel over the mesh. Returns (N, H, W).
     """
     if mesh is None:
         mesh = make_mesh()
     n_dev = len(mesh.devices.ravel())
     step = n_dev * batch_per_device
-    n, h, w = volume.shape
+    n, h, w = volume.shape[:3]
     sharding = batch_sharding(mesh)
 
     fwd = jax.jit(apply_fn)
@@ -48,7 +49,9 @@ def infer_volume(
         if valid < step:  # pad the tail so the one compiled shape fits
             pad = np.repeat(chunk[-1:], step - valid, axis=0)
             chunk = np.concatenate([chunk, pad], axis=0)
-        x = jax.device_put(chunk[..., None].astype(np.float32), sharding)
+        if chunk.ndim == 3:
+            chunk = chunk[..., None]
+        x = jax.device_put(chunk.astype(np.float32), sharding)
         y = fwd(params, x)
         out[start : start + valid] = np.asarray(y)[:valid, :, :, 0]
     return out

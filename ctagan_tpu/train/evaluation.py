@@ -31,10 +31,11 @@ def _threshold_mask(img, thr=0.3):
     return body_mask(img, thr)
 
 
-def _metric_suite(fake_b, real_b, wc, ww):
-    """All 8 window+raw metrics as ONE traced computation — a single device
-    round-trip per slice instead of 8-10 (the per-call tunnel latency would
-    otherwise dominate eval wall-clock; see CLAUDE.md perf notes)."""
+def _masked_views(fake_b, real_b, wc, ww):
+    """The reference's masking protocol (HdTrainer.py:481-538), shared by
+    every evaluator: windowed real -> mask ``bb``; windowed fake masked by
+    ``bb`` then its own mask ``cc``; raw pair masked by bb/cc; masked-out
+    pixels become -1. Returns (c_m, b_m, fake_m, real_m)."""
     b = to_windowdata(real_b, wc, ww)
     bb = _threshold_mask(b)
     b_m = mask_background_to_air(b, bb)
@@ -45,6 +46,14 @@ def _metric_suite(fake_b, real_b, wc, ww):
 
     fake_m = mask_background_to_air(fake_b, cc)
     real_m = mask_background_to_air(real_b, bb)
+    return c_m, b_m, fake_m, real_m
+
+
+def _metric_suite(fake_b, real_b, wc, ww):
+    """All 8 window+raw metrics as ONE traced computation — a single device
+    round-trip per slice instead of 8-10 (the per-call tunnel latency would
+    otherwise dominate eval wall-clock; see CLAUDE.md perf notes)."""
+    c_m, b_m, fake_m, real_m = _masked_views(fake_b, real_b, wc, ww)
     return {
         "MAEw": masked_mae(c_m, b_m),
         "PSNRw": masked_psnr(c_m, b_m),
@@ -90,19 +99,11 @@ def evaluate_pair(
     vals = jax.device_get(vals)
     out = {k: float(v) for k, v in vals.items()}
     if lpips_fn is not None:
-        b = to_windowdata(jnp.asarray(real_b), wc, ww)
-        bb = _threshold_mask(b)
-        b_m = mask_background_to_air(b, bb)
-        c = to_windowdata(jnp.asarray(fake_b), wc, ww) * bb
-        cc = _threshold_mask(c)
-        c_m = mask_background_to_air(c, cc)
-        out["LPIPSw"] = float(lpips_fn(c_m, b_m))
-        out["LPIPS"] = float(
-            lpips_fn(
-                mask_background_to_air(jnp.asarray(fake_b), cc),
-                mask_background_to_air(jnp.asarray(real_b), bb),
-            )
+        c_m, b_m, fake_m, real_m = _masked_views(
+            jnp.asarray(fake_b), jnp.asarray(real_b), wc, ww
         )
+        out["LPIPSw"] = float(lpips_fn(c_m, b_m))
+        out["LPIPS"] = float(lpips_fn(fake_m, real_m))
     return out
 
 

@@ -407,10 +407,12 @@ class TrainerBase:
                 break
             a, b = self._val_pairs(batch)
             fake = np.asarray(self._gen_fwd(gp, jnp.asarray(a)))[0, :, :, 0]
+            # with 2.5-D context the CENTER channel is the input slice
+            a_center = np.asarray(a)[0, :, :, a.shape[-1] // 2]
             save_qualitative_panel(
                 out_dir,
                 f"slice{i}",
-                [np.asarray(a)[0, :, :, 0], np.asarray(b)[0, :, :, 0], fake],
+                [a_center, np.asarray(b)[0, :, :, 0], fake],
                 zoom_center=(size // 2, size // 2),
             )
         return out_dir
@@ -661,13 +663,13 @@ class HdTrainerStage2(RegTrainer):
         path = path or self.config.stage1_ckpt
         if not path:
             # stage 1 may have run under any config name — find the newest
-            # checkpoint with an ..._hd1 prefix in save_root
+            # checkpoint with an ..._hd1 prefix in save_root (either backend)
             found = None
             if os.path.isdir(self.config.save_root):
                 prefixes = {
                     f.split("_e")[0]
                     for f in os.listdir(self.config.save_root)
-                    if "_hd1_e" in f and f.endswith(".ckpt")
+                    if "_hd1_e" in f and f.endswith((".ckpt", ".ocp"))
                 }
                 for pref in prefixes:
                     cand = find_latest_checkpoint(self.config.save_root, pref)
@@ -687,9 +689,17 @@ class HdTrainerStage2(RegTrainer):
         # stage-1 state has a scalar-D param tree; restore G and R only
         import flax.serialization as ser
 
-        with open(path, "rb") as f:
-            raw = ser.msgpack_restore(f.read())
-        st = raw["state"]
+        if path.endswith(".ocp"):
+            from ctagan_tpu.utils.checkpoint import _get_orbax
+
+            ckptr = _get_orbax()
+            ckptr.wait_until_finished()
+            raw = ckptr.restore(os.path.abspath(path))
+            st = ser.to_state_dict(raw["state"])
+        else:
+            with open(path, "rb") as f:
+                raw = ser.msgpack_restore(f.read())
+            st = raw["state"]
         g_params = ser.from_state_dict(
             jax.device_get(self.state.g_params), st["g_params"]
         )

@@ -106,9 +106,14 @@ def save_checkpoint_orbax(
     path = os.path.abspath(os.path.join(save_root, name))
     import shutil
 
+    ckptr = _get_orbax()
+    # a pending async save to the same path could commit between our
+    # exists-check and save (or be deleted mid-flight by the rmtree) —
+    # drain first so same-name re-saves are race-free
+    ckptr.wait_until_finished()
     if os.path.exists(path):
         shutil.rmtree(path)
-    _get_orbax().save(path, state)
+    ckptr.save(path, state)
     return path
 
 

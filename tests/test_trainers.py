@@ -242,3 +242,21 @@ def test_reggan_downsampled_registration(tmp_path, corpus):
     t = RegTrainer(cfg, quiet=True)
     t.train(max_steps_per_epoch=1)
     _losses_finite(t)
+
+
+def test_hd_stage2_bootstrap_from_orbax_stage1(tmp_path, corpus):
+    cfg = _config(tmp_path, corpus, name="HdGan", size=128,
+                  checkpoint_backend="orbax")
+    t1 = HdTrainerStage1(cfg, quiet=True)
+    t1.train(max_steps_per_epoch=1)
+    from ctagan_tpu.utils.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()
+    cfg2 = _config(tmp_path, corpus, name="HdGan2", size=128)
+    t2 = HdTrainerStage2(cfg2, quiet=True)
+    t2.bootstrap_from_stage1()  # auto-discovers the .ocp stage-1 checkpoint
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(t1.state.g_params)),
+        jax.tree.leaves(jax.device_get(t2.state.g_params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

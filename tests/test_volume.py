@@ -69,3 +69,23 @@ def test_infer_series_writes_se2(tmp_path):
     assert len(files) == len(paths)
     ds = read_dicom(os.path.join(out, files[0]))
     assert ds.pixel_array().shape == (32, 32)
+
+
+def test_infer_series_with_context_slices(tmp_path):
+    from ctagan_tpu.data.fixtures import make_corpus
+    from ctagan_tpu.parallel.serve import infer_series
+    from ctagan_tpu.train import P2pTrainer
+    from ctagan_tpu.utils.config import load_config
+    import os
+
+    lists = make_corpus(str(tmp_path / "c"), n_patients=1, slices_per_patient=4, size=32)
+    cfg = load_config(dict(
+        name="P2p", size=32, context_slices=3, train_list=lists["train"],
+        val_list=lists["val"], test_list=lists["test"],
+        save_root=str(tmp_path / "m") + "/", image_save=str(tmp_path / "i") + "/",
+        n_cpu=1, data_parallel=False,
+    ))
+    t = P2pTrainer(cfg, quiet=True)
+    series_dir = os.path.join(str(tmp_path), "c", "patient0", "ST0", "SE0")
+    out = infer_series(t, series_dir, cfg.image_save)
+    assert len(os.listdir(out)) == 4

@@ -75,6 +75,11 @@ def main():
         from ctagan_tpu.serving.server import serve
         from ctagan_tpu.utils.checkpoint import find_latest_checkpoint
 
+        if config.context_slices > 1:
+            parser.error(
+                "--mode serve handles single-slice requests only; "
+                "context_slices > 1 models need --mode infer (series input)"
+            )
         if config.generator_ckpt:
             trainer.load_generator(config.generator_ckpt)
         else:
