@@ -387,8 +387,8 @@ def _serialize_element(e: Element, explicit: bool) -> bytes:
     return head + struct.pack("<I", len(e.value)) + e.value
 
 
-def write_dicom(ds: DicomFile, path: Union[str, os.PathLike]):
-    """Serialize back to a part-10 file (pydicom.dcmwrite equivalent)."""
+def dicom_bytes(ds: DicomFile) -> bytes:
+    """Serialize to part-10 bytes (in-memory; used by the serving path)."""
     explicit = ds.transfer_syntax == EXPLICIT_VR_LE
     meta = list(ds.meta)
     if not any(e.tag == TAG_TRANSFER_SYNTAX for e in meta):
@@ -402,8 +402,13 @@ def write_dicom(ds: DicomFile, path: Union[str, os.PathLike]):
     group_len = Element(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body)))
     out = [b"\x00" * 128, b"DICM", _serialize_element(group_len, True), meta_body]
     out.extend(_serialize_element(e, explicit) for e in ds.elements)
+    return b"".join(out)
+
+
+def write_dicom(ds: DicomFile, path: Union[str, os.PathLike]):
+    """Serialize back to a part-10 file (pydicom.dcmwrite equivalent)."""
     with open(path, "wb") as f:
-        f.write(b"".join(out))
+        f.write(dicom_bytes(ds))
 
 
 # ---------------------------------------------------------------------------

@@ -163,16 +163,9 @@ def _make_handler(service: SynthesisService):
                     )
                 ds.set_pixel_data((fake + 1.0) * 0.5 * 4095.0)
                 ds.series_instance_uid = generate_uid()
-                from ctagan_tpu.data.dicom import write_dicom
-                import io, tempfile, os
+                from ctagan_tpu.data.dicom import dicom_bytes
 
-                # serialize to bytes via the codec
-                tmp = tempfile.NamedTemporaryFile(delete=False)
-                tmp.close()
-                write_dicom(ds, tmp.name)
-                with open(tmp.name, "rb") as f:
-                    out = f.read()
-                os.unlink(tmp.name)
+                out = dicom_bytes(ds)
                 self.send_response(200)
                 self.send_header("Content-Type", "application/dicom")
                 self.send_header("Content-Length", str(len(out)))
