@@ -110,3 +110,24 @@ def test_ssim_against_reference_impl():
 def test_ssim_decreases_with_noise():
     fake, real = _make_pair(5, with_bg=False)
     assert float(ssim(fake, real)) < float(ssim(real, real))
+
+
+def test_fused_metric_suite_matches_modular_path():
+    """The jitted 8-metric suite (train/evaluation._metric_suite) must agree
+    with computing each metric through the masked views independently."""
+    import jax.numpy as jnp
+    from ctagan_tpu.train.evaluation import _masked_views, _metric_suite
+
+    rng = np.random.default_rng(7)
+    real = rng.uniform(-1, 1, (40, 40)).astype(np.float32)
+    fake = np.clip(real + rng.normal(0, 0.15, real.shape), -1, 1).astype(np.float32)
+    wc, ww = 60.0, 300.0
+
+    suite = {k: float(v) for k, v in _metric_suite(
+        jnp.asarray(fake), jnp.asarray(real), wc, ww).items()}
+    c_m, b_m, fake_m, real_m = _masked_views(
+        jnp.asarray(fake), jnp.asarray(real), wc, ww)
+    np.testing.assert_allclose(suite["MAEw"], float(masked_mae(c_m, b_m)), rtol=1e-6)
+    np.testing.assert_allclose(suite["PSNRw"], float(masked_psnr(c_m, b_m)), rtol=1e-6)
+    np.testing.assert_allclose(suite["SSIM"], float(ssim(fake_m, real_m)), rtol=1e-6)
+    np.testing.assert_allclose(suite["UQI"], float(uqi(fake_m, real_m)), rtol=1e-5)
