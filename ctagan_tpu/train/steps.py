@@ -53,6 +53,14 @@ def _apply(tx, grads, opt_state, params, lr):
     return new_params, new_opt
 
 
+def _ema_update(ema, params, decay: float):
+    """Exponential moving average of generator params (production eval
+    trick — the reference has no EMA; opt-in via config ema_decay)."""
+    if ema is None:
+        return None
+    return jax.tree.map(lambda e, p: e * decay + p * (1.0 - decay), ema, params)
+
+
 def _ones(pred):
     return jnp.ones_like(pred)
 
@@ -72,16 +80,20 @@ class P2pState:
     g_opt: Any
     d_opt: Any
     rng: jax.Array
+    g_ema: Any = None
 
 
-def init_p2p_state(g_model, d_model, key, size, input_nc=1, output_nc=1):
+def init_p2p_state(
+    g_model, d_model, key, size, input_nc=1, output_nc=1, ema: bool = False
+):
     kg, kd, kr = jax.random.split(key, 3)
     a = jnp.zeros((1, size, size, input_nc))
     ab = jnp.zeros((1, size, size, input_nc + output_nc))
     tx = make_optimizer()
     gp = g_model.init(kg, a)
     dp = d_model.init(kd, ab)
-    return P2pState(gp, dp, tx.init(gp), tx.init(dp), kr), tx
+    g_ema = jax.tree.map(lambda x: x, gp) if ema else None
+    return P2pState(gp, dp, tx.init(gp), tx.init(dp), kr, g_ema), tx
 
 
 def p2p_train_step(g_model, d_model, tx, cfg, state: P2pState, batch, lr):
@@ -115,7 +127,8 @@ def p2p_train_step(g_model, d_model, tx, cfg, state: P2pState, batch, lr):
     d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
     d_params, d_opt = _apply(tx, d_grads, state.d_opt, state.d_params, lr)
 
-    new_state = P2pState(g_params, d_params, g_opt, d_opt, rng)
+    g_ema = _ema_update(state.g_ema, g_params, cfg.get("ema_decay", 0.999))
+    new_state = P2pState(g_params, d_params, g_opt, d_opt, rng, g_ema)
     return new_state, {
         "loss_G": g_loss,
         "loss_L1": l1v,
@@ -251,17 +264,21 @@ class RegState:
     r_opt: Any
     d_opt: Any
     rng: jax.Array
+    g_ema: Any = None
 
 
-def init_reg_state(g_model, r_model, d_model, key, size, input_nc=1):
+def init_reg_state(g_model, r_model, d_model, key, size, input_nc=1, ema=False):
     ks = jax.random.split(key, 4)
     a = jnp.zeros((1, size, size, input_nc))
     tx = make_optimizer()
     gp = g_model.init(ks[0], a)
     rp = r_model.init(ks[1], a, a)
     dp = d_model.init(ks[2], a)
+    g_ema = jax.tree.map(lambda x: x, gp) if ema else None
     return (
-        RegState(gp, rp, dp, tx.init(gp), tx.init(rp), tx.init(dp), ks[3]),
+        RegState(
+            gp, rp, dp, tx.init(gp), tx.init(rp), tx.init(dp), ks[3], g_ema
+        ),
         tx,
     )
 
@@ -386,7 +403,10 @@ def reg_train_step(
     d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
     d_params, d_opt = _apply(tx, d_grads, state.d_opt, state.d_params, lr_d)
 
-    new_state = RegState(g_params, r_params, d_params, g_opt, r_opt, d_opt, rng)
+    g_ema = _ema_update(state.g_ema, g_params, cfg.get("ema_decay", 0.999))
+    new_state = RegState(
+        g_params, r_params, d_params, g_opt, r_opt, d_opt, rng, g_ema
+    )
     out = {"toal_loss": gr_loss, "loss_D_B": d_loss}
     out.update(aux)
     return new_state, out

@@ -129,10 +129,18 @@ class TrainerBase:
         raise NotImplementedError
 
     def _g_params(self):
+        """Evaluation params: the EMA shadow when enabled, else the live G
+        (val/test/figures/serving all route through here)."""
+        ema = getattr(self.state, "g_ema", None)
+        if self.config.ema_decay > 0 and ema is not None:
+            return ema
         return self.state.g_params
 
     def _set_g_params(self, params):
         self.state = self.state.replace(g_params=params)
+        # explicitly-loaded weights supersede any EMA shadow
+        if getattr(self.state, "g_ema", None) is not None:
+            self.state = self.state.replace(g_ema=params)
 
     # -- data ---------------------------------------------------------------
     def _make_train_dataset(self, rng):
@@ -495,6 +503,7 @@ class P2pTrainer(TrainerBase):
             self.config.size,
             self.config.input_nc * self.config.context_slices,
             self.config.output_nc,
+            ema=self.config.ema_decay > 0,
         )
 
     def _compile_step(self):
@@ -502,6 +511,7 @@ class P2pTrainer(TrainerBase):
             "P2P_lamda": self.config.P2P_lamda,
             "Adv_lamda": self.config.Adv_lamda,
             "noise_level": self.config.noise_level,
+            "ema_decay": self.config.ema_decay or 0.999,
         }
         fn = partial(steps.p2p_train_step, self.g_model, self.d_model, self.tx, cfg)
 
@@ -562,6 +572,7 @@ class RegTrainer(TrainerBase):
             k,
             self.config.size,
             self.config.input_nc,
+            ema=self.config.ema_decay > 0,
         )
 
     def _step_cfg(self):
@@ -577,6 +588,7 @@ class RegTrainer(TrainerBase):
             "noise_level": c.noise_level,
             "warp_max_disp": c.warp_max_disp,
             "reg_downsample": c.reg_downsample,
+            "ema_decay": c.ema_decay or 0.999,
         }
 
     def _compile_step(self):

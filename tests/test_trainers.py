@@ -260,3 +260,21 @@ def test_hd_stage2_bootstrap_from_orbax_stage1(tmp_path, corpus):
         jax.tree.leaves(jax.device_get(t2.state.g_params)),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_p2p_ema_generator(tmp_path, corpus):
+    cfg = _config(tmp_path, corpus, name="P2p", size=64, ema_decay=0.9)
+    t = P2pTrainer(cfg, quiet=True)
+    assert t.state.g_ema is not None
+    t.train(max_steps_per_epoch=2)
+    # EMA differs from the live params but stays close after 2 steps
+    live = jax.tree.leaves(jax.device_get(t.state.g_params))
+    ema = jax.tree.leaves(jax.device_get(t.state.g_ema))
+    diffs = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+             for a, b in zip(live, ema)]
+    assert max(diffs) > 0  # actually shadowing
+    # eval path serves the EMA params
+    for a, b in zip(jax.tree.leaves(t._g_params()), jax.tree.leaves(t.state.g_ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    psnr, _ = t.validate()
+    assert np.isfinite(psnr)
