@@ -1,0 +1,133 @@
+"""3-D volumetric model family: patch-based volume-to-volume synthesis.
+
+The reference is strictly 2-D (one slice at a time, stitched only through
+the filesystem — SURVEY.md §5); BASELINE.json's full-volume config calls for
+"patch-based 2.5D/3D conv synthesis with sliding-window stitched inference".
+The 2.5-D path is ``context_slices``; this module is the true 3-D family:
+
+- ``Generator3D``: NDHWC 3-D ResNet generator — c3s1 head, two stride-2
+  (H,W)-downsampling stages (depth kept full: CT series are anisotropic,
+  ~5 mm slices vs ~0.7 mm pixels), residual body, transposed-conv up path,
+  tanh head. Mirrors the 2-D generator's shape so the recipe transfers.
+- ``Discriminator3D``: 3-D PatchGAN with global-average-pooled scalar logit
+  (the 2-D family's LSGAN-on-a-scalar design).
+
+All convs are jnp/flax native (XLA lowers 3-D convs onto the MXU by
+flattening kernel dims); bfloat16-ready with fp32 norm statistics.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ctagan_tpu.models.layers import torch_conv_kernel_init
+
+
+def instance_norm3d(x, eps: float = 1e-5):
+    """InstanceNorm3d(affine=False): per-(sample, channel) stats over
+    (D, H, W); fp32 statistics for bf16 activations."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2, 3), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+class Conv3d(nn.Module):
+    features: int
+    kernel: tuple = (3, 3, 3)
+    strides: tuple = (1, 1, 1)
+    padding: Any = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad)] * 3
+        return nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.strides,
+            padding=pad,
+            kernel_init=torch_conv_kernel_init(),
+            dtype=self.dtype,
+        )(x)
+
+
+class ResidualBlock3D(nn.Module):
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = Conv3d(self.features, dtype=self.dtype)(x)
+        h = instance_norm3d(h)
+        h = nn.relu(h)
+        h = Conv3d(self.features, dtype=self.dtype)(h)
+        h = instance_norm3d(h)
+        return x + h
+
+
+class Generator3D(nn.Module):
+    """NDHWC volume-to-volume generator. Input (N, D, H, W, C)."""
+
+    input_nc: int = 1
+    output_nc: int = 1
+    n_residual_blocks: int = 6
+    base_features: int = 32
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.base_features
+        h = Conv3d(f, kernel=(3, 7, 7), padding=[(1, 1), (3, 3), (3, 3)],
+                   dtype=self.dtype)(x)
+        h = instance_norm3d(h)
+        h = nn.relu(h)
+        # downsample H, W only (depth is coarse already in CT series)
+        for mult in (2, 4):
+            h = Conv3d(
+                f * mult, strides=(1, 2, 2), dtype=self.dtype
+            )(h)
+            h = instance_norm3d(h)
+            h = nn.relu(h)
+        for _ in range(self.n_residual_blocks):
+            h = ResidualBlock3D(f * 4, dtype=self.dtype)(h)
+        for mult in (2, 1):
+            h = nn.ConvTranspose(
+                f * mult,
+                (3, 3, 3),
+                strides=(1, 2, 2),
+                padding=[(1, 1), (1, 2), (1, 2)],
+                transpose_kernel=True,
+                dtype=self.dtype,
+            )(h)
+            h = instance_norm3d(h)
+            h = nn.relu(h)
+        h = Conv3d(self.output_nc, kernel=(3, 7, 7),
+                   padding=[(1, 1), (3, 3), (3, 3)], dtype=self.dtype)(h)
+        return nn.tanh(h)
+
+
+class Discriminator3D(nn.Module):
+    """3-D PatchGAN -> scalar logit (N, 1)."""
+
+    input_nc: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = Conv3d(32, kernel=(3, 4, 4), strides=(1, 2, 2),
+                   padding=[(1, 1), (1, 1), (1, 1)], dtype=self.dtype)(x)
+        h = nn.leaky_relu(h, 0.2)
+        for feats, ds in ((64, 2), (128, 2), (256, 1)):
+            h = Conv3d(feats, kernel=(3, 4, 4), strides=(1, ds, ds),
+                       padding=[(1, 1), (1, 1), (1, 1)], dtype=self.dtype)(h)
+            h = instance_norm3d(h)
+            h = nn.leaky_relu(h, 0.2)
+        h = Conv3d(1, kernel=(3, 4, 4), padding=[(1, 1), (1, 1), (1, 1)],
+                   dtype=self.dtype)(h)
+        return jnp.mean(h, axis=(1, 2, 3))

@@ -55,8 +55,16 @@ def infer_series(trainer, series_dir: str, out_root: str) -> str:
     g_model = trainer.g_model
     params = trainer._g_params()
 
-    ctx = int(getattr(cfg, "context_slices", 1))
-    if ctx > 1:
+    if getattr(trainer, "family", "") == "p3d":
+        from ctagan_tpu.parallel.volume import infer_volume_3d
+
+        fake = infer_volume_3d(
+            lambda p, x: g_model.apply(p, x),
+            params,
+            volume,
+            depth=cfg.patch_depth,
+        )
+    elif (ctx := int(getattr(cfg, "context_slices", 1))) > 1:
         # 2.5-D models: stack +-k neighboring slices on channels (edge clamp)
         half = ctx // 2
         n = volume.shape[0]

@@ -57,6 +57,35 @@ def infer_volume(
     return out
 
 
+def infer_volume_3d(
+    apply_fn,
+    params,
+    volume: np.ndarray,
+    depth: int = 8,
+    overlap: float = 0.5,
+) -> np.ndarray:
+    """3-D model inference over a whole (N, H, W) series: overlapping depth
+    windows through the volumetric generator, Hann-blended along depth —
+    the through-plane counterpart of :func:`sliding_window`."""
+    n, h, w = volume.shape
+    depth = min(depth, n)
+    stride = max(1, int(depth * (1.0 - overlap)))
+    starts = list(range(0, max(n - depth, 0) + 1, stride))
+    if starts[-1] + depth < n:
+        starts.append(n - depth)
+
+    wz = np.hanning(depth + 2)[1:-1].astype(np.float32)
+    fwd = jax.jit(apply_fn)
+    acc = np.zeros((n, h, w), np.float32)
+    norm = np.zeros((n, 1, 1), np.float32)
+    for s in starts:
+        patch = volume[s : s + depth][None, ..., None].astype(np.float32)
+        out = np.asarray(fwd(params, patch))[0, :, :, :, 0]
+        acc[s : s + depth] += out * wz[:, None, None]
+        norm[s : s + depth, 0, 0] += wz
+    return acc / np.maximum(norm, 1e-8)
+
+
 def _hann2d(tile_h: int, tile_w: int) -> np.ndarray:
     wy = np.hanning(tile_h + 2)[1:-1]
     wx = np.hanning(tile_w + 2)[1:-1]

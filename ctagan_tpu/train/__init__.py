@@ -4,5 +4,6 @@ from ctagan_tpu.train.trainers import (
     RegTrainer,
     HdTrainerStage1,
     HdTrainerStage2,
+    P3dTrainer,
     build_trainer,
 )

@@ -138,6 +138,65 @@ def p2p_train_step(g_model, d_model, tx, cfg, state: P2pState, batch, lr):
 
 
 # ===========================================================================
+# 3-D volumetric pix2pix (new family — BASELINE.json full-volume config)
+# ===========================================================================
+
+def init_p3d_state(g_model, d_model, key, depth, size, input_nc=1, ema=False):
+    kg, kd, kr = jax.random.split(key, 3)
+    a = jnp.zeros((1, depth, size, size, input_nc))
+    ab = jnp.zeros((1, depth, size, size, input_nc * 2))
+    tx = make_optimizer()
+    gp = g_model.init(kg, a)
+    dp = d_model.init(kd, ab)
+    g_ema = jax.tree.map(lambda x: x, gp) if ema else None
+    return P2pState(gp, dp, tx.init(gp), tx.init(dp), kr, g_ema), tx
+
+
+def p3d_train_step(g_model, d_model, tx, cfg, state: P2pState, batch, lr):
+    """Paired 3-D patch step: L1 + conditional LSGAN (the p2p recipe on
+    volumes). Augmentation = paired random H/W flips (affine warps don't
+    compose cheaply in 3-D; flips are the standard volumetric augment)."""
+    rng, kf = jax.random.split(state.rng)
+    a, b = batch["A"], batch["B"]
+    fh, fw = jax.random.bernoulli(kf, 0.5, (2,))
+    a = jnp.where(fh, a[:, :, ::-1, :, :], a)
+    b = jnp.where(fh, b[:, :, ::-1, :, :], b)
+    a = jnp.where(fw, a[:, :, :, ::-1, :], a)
+    b = jnp.where(fw, b[:, :, :, ::-1, :], b)
+
+    def g_loss_fn(gp):
+        fake = g_model.apply(gp, a)
+        loss_l1 = L.l1(fake, b) * cfg["P2P_lamda"]
+        pred = d_model.apply(state.d_params, jnp.concatenate([a, fake], -1))
+        loss_adv = L.mse(pred, _ones(pred)) * cfg["Adv_lamda"]
+        return loss_l1 + loss_adv, (loss_l1, loss_adv)
+
+    (g_loss, (l1v, advv)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+        state.g_params
+    )
+    g_params, g_opt = _apply(tx, g_grads, state.g_opt, state.g_params, lr)
+
+    fake2 = jax.lax.stop_gradient(g_model.apply(g_params, a))
+
+    def d_loss_fn(dp):
+        pf = d_model.apply(dp, jnp.concatenate([a, fake2], -1))
+        pr = d_model.apply(dp, jnp.concatenate([a, b], -1))
+        return L.mse(pf, _zeros(pf)) + L.mse(pr, _ones(pr))
+
+    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+    d_params, d_opt = _apply(tx, d_grads, state.d_opt, state.d_params, lr)
+
+    g_ema = _ema_update(state.g_ema, g_params, cfg.get("ema_decay", 0.999))
+    new_state = P2pState(g_params, d_params, g_opt, d_opt, rng, g_ema)
+    return new_state, {
+        "loss_G": g_loss,
+        "loss_L1": l1v,
+        "loss_GAN_A2B": advv,
+        "loss_D_B": d_loss,
+    }
+
+
+# ===========================================================================
 # CycleGAN (CycTrainer.py:136-197)
 # ===========================================================================
 

@@ -82,12 +82,7 @@ class TrainerBase:
         self.start_epoch = int(config.epoch)
         self._current_epoch = self.start_epoch
         self.key = jax.random.PRNGKey(config.seed)
-        self.g_model = Generator(
-            config.input_nc * config.context_slices,
-            config.output_nc,
-            dtype=_dtype(config),
-            remat=config.remat,
-        )
+        self.g_model = self._build_generator()
         self._build_models()
         self.state, self.tx = self._init_state()
         self._step = self._compile_step()
@@ -97,8 +92,8 @@ class TrainerBase:
             # G forward + both validation metrics in ONE device call —
             # per-call tunnel latency would otherwise dominate val time
             fake = self.g_model.apply(params, a)
-            fb = fake[0, :, :, 0].astype(jnp.float32)
-            rb = b[0, :, :, 0].astype(jnp.float32)
+            fb = self._eval_slice(fake).astype(jnp.float32)
+            rb = self._eval_slice(b).astype(jnp.float32)
             return masked_psnr(fb, rb), ssim(fb, rb)
 
         self._val_step = jax.jit(_val_step)
@@ -109,8 +104,8 @@ class TrainerBase:
             from ctagan_tpu.train.evaluation import _metric_suite
 
             fake = self.g_model.apply(params, a)
-            fb = fake[0, :, :, 0].astype(jnp.float32)
-            rb = b[0, :, :, 0].astype(jnp.float32)
+            fb = self._eval_slice(fake).astype(jnp.float32)
+            rb = self._eval_slice(b).astype(jnp.float32)
             return fb, _metric_suite(fb, rb, wc, ww)
 
         self._test_step = jax.jit(_test_step)
@@ -119,6 +114,14 @@ class TrainerBase:
             self._try_resume()
 
     # -- per-family hooks ---------------------------------------------------
+    def _build_generator(self):
+        return Generator(
+            self.config.input_nc * self.config.context_slices,
+            self.config.output_nc,
+            dtype=_dtype(self.config),
+            remat=self.config.remat,
+        )
+
     def _build_models(self):
         raise NotImplementedError
 
@@ -127,6 +130,13 @@ class TrainerBase:
 
     def _compile_step(self):
         raise NotImplementedError
+
+    @staticmethod
+    def _eval_slice(x):
+        """Extract the (H, W) evaluation slice from a model tensor — 2-D
+        families take the (single) slice; the 3-D family overrides with the
+        center depth slice."""
+        return x[0, :, :, 0]
 
     def _g_params(self):
         """Evaluation params: the EMA shadow when enabled, else the live G
@@ -724,12 +734,91 @@ class HdTrainerStage2(RegTrainer):
         return self
 
 
+class P3dTrainer(TrainerBase):
+    """3-D volumetric pix2pix: paired depth-window patches, L1 + conditional
+    LSGAN (new family — BASELINE.json's full-volume config; the reference
+    has no 3-D path)."""
+
+    family = "p3d"
+
+    def _build_generator(self):
+        from ctagan_tpu.models.volumetric import Generator3D
+
+        return Generator3D(
+            self.config.input_nc, self.config.output_nc, dtype=_dtype(self.config)
+        )
+
+    def _build_models(self):
+        from ctagan_tpu.models.volumetric import Discriminator3D
+
+        self.d_model = Discriminator3D(
+            self.config.input_nc * 2, dtype=_dtype(self.config)
+        )
+
+    def _init_state(self):
+        self.key, k = jax.random.split(self.key)
+        return steps.init_p3d_state(
+            self.g_model,
+            self.d_model,
+            k,
+            self.config.patch_depth,
+            self.config.size,
+            self.config.input_nc,
+            ema=self.config.ema_decay > 0,
+        )
+
+    def _compile_step(self):
+        cfg = {
+            "P2P_lamda": self.config.P2P_lamda,
+            "Adv_lamda": self.config.Adv_lamda,
+            "ema_decay": self.config.ema_decay or 0.999,
+        }
+        fn = partial(steps.p3d_train_step, self.g_model, self.d_model, self.tx, cfg)
+
+        @jax.jit
+        def step(state, batch, lr, lr_d):
+            return fn(state, batch, lr)
+
+        return step
+
+    @staticmethod
+    def _eval_slice(x):
+        return x[0, x.shape[1] // 2, :, :, 0]  # center depth slice
+
+    def _make_train_dataset(self, rng):
+        from ctagan_tpu.data.volumes import VolumePatchDataset
+
+        return VolumePatchDataset(
+            self.config.train_list,
+            depth=self.config.patch_depth,
+            size=self.config.size,
+            train=True,
+            rng=rng,
+        )
+
+    def _make_eval_dataset(self, list_file):
+        from ctagan_tpu.data.volumes import VolumePatchDataset
+
+        return VolumePatchDataset(
+            list_file,
+            depth=self.config.patch_depth,
+            size=self.config.size,
+            train=False,
+        )
+
+    def test(self, write_dicom: bool = False):
+        """Patch-window evaluation on center slices; series-level DICOM
+        emission goes through ``--mode infer`` (depth-blended)."""
+        return super().test(write_dicom=write_dicom)
+
+
 TRAINERS = {
     "P2p": P2pTrainer,
     "CycleGan": CycTrainer,
     "RegGan": RegTrainer,
     "HdGan": HdTrainerStage1,
     "HdGan2": HdTrainerStage2,
+    "P3d": P3dTrainer,
 }
 
 

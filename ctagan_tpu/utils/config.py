@@ -67,6 +67,7 @@ class Config:
     warp_max_disp: int = 0  # >0: gather-free local warp with this radius (px)
     reg_downsample: int = 1  # >1: registration net at reduced resolution
     ema_decay: float = 0.0  # >0: keep an EMA of G params, used for eval
+    patch_depth: int = 8  # 3-D family (P3d): slices per depth window
     data_parallel: bool = True  # shard batch over all local devices
     val_every: int = 5  # epochs between validations (reference: hardcoded 5)
     log_every: int = 50  # steps between stdout log lines
