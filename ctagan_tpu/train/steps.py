@@ -212,9 +212,12 @@ class CycState:
     fake_a_buffer: ReplayBuffer
     fake_b_buffer: ReplayBuffer
     rng: jax.Array
+    g_ema: Any = None  # EMA of the A2B generator (the eval surface)
 
 
-def init_cyc_state(g_model, d_model, key, size, input_nc=1, buffer_size=50):
+def init_cyc_state(
+    g_model, d_model, key, size, input_nc=1, buffer_size=50, ema=False
+):
     ks = jax.random.split(key, 5)
     a = jnp.zeros((1, size, size, input_nc))
     tx = make_optimizer()
@@ -225,6 +228,7 @@ def init_cyc_state(g_model, d_model, key, size, input_nc=1, buffer_size=50):
     # one optimizer over both generators (itertools.chain in the reference,
     # CycTrainer.py:74-76) -> a single opt state over the param pair
     g_opt = tx.init((g_a2b, g_b2a))
+    g_ema = jax.tree.map(lambda x: x, g_a2b) if ema else None
     return (
         CycState(
             g_a2b,
@@ -237,6 +241,7 @@ def init_cyc_state(g_model, d_model, key, size, input_nc=1, buffer_size=50):
             ReplayBuffer.create(buffer_size, (size, size, input_nc)),
             ReplayBuffer.create(buffer_size, (size, size, input_nc)),
             ks[4],
+            g_ema,
         ),
         tx,
     )
@@ -297,9 +302,10 @@ def cyc_train_step(g_model, d_model, tx, cfg, state: CycState, batch, lr):
     )
     d_b_params, d_b_opt = _apply(tx, d_b_grads, state.d_b_opt, state.d_b_params, lr)
 
+    g_ema = _ema_update(state.g_ema, g_a2b, cfg.get("ema_decay", 0.999))
     new_state = CycState(
         g_a2b, g_b2a, d_a_params, d_b_params, g_opt, d_a_opt, d_b_opt,
-        buf_a, buf_b, rng,
+        buf_a, buf_b, rng, g_ema,
     )
     return new_state, {
         "loss_G": g_loss,

@@ -541,7 +541,12 @@ class CycTrainer(TrainerBase):
     def _init_state(self):
         self.key, k = jax.random.split(self.key)
         return steps.init_cyc_state(
-            self.g_model, self.d_model, k, self.config.size, self.config.input_nc
+            self.g_model,
+            self.d_model,
+            k,
+            self.config.size,
+            self.config.input_nc,
+            ema=self.config.ema_decay > 0,
         )
 
     def _compile_step(self):
@@ -549,6 +554,7 @@ class CycTrainer(TrainerBase):
             "Adv_lamda": self.config.Adv_lamda,
             "Cyc_lamda": self.config.Cyc_lamda,
             "noise_level": self.config.noise_level,
+            "ema_decay": self.config.ema_decay or 0.999,
         }
         fn = partial(steps.cyc_train_step, self.g_model, self.d_model, self.tx, cfg)
 
@@ -559,10 +565,14 @@ class CycTrainer(TrainerBase):
         return step
 
     def _g_params(self):
+        if self.config.ema_decay > 0 and self.state.g_ema is not None:
+            return self.state.g_ema
         return self.state.g_a2b_params
 
     def _set_g_params(self, params):
         self.state = self.state.replace(g_a2b_params=params)
+        if self.state.g_ema is not None:
+            self.state = self.state.replace(g_ema=params)
 
 
 class RegTrainer(TrainerBase):

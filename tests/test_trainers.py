@@ -278,3 +278,12 @@ def test_p2p_ema_generator(tmp_path, corpus):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     psnr, _ = t.validate()
     assert np.isfinite(psnr)
+
+
+def test_cyclegan_ema(tmp_path, corpus):
+    cfg = _config(tmp_path, corpus, name="CycleGan", size=64, ema_decay=0.9)
+    t = CycTrainer(cfg, quiet=True)
+    assert t.state.g_ema is not None
+    t.train(max_steps_per_epoch=1)
+    for a, b in zip(jax.tree.leaves(t._g_params()), jax.tree.leaves(t.state.g_ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
