@@ -17,6 +17,8 @@ from ctagan_tpu.train import (
 )
 from ctagan_tpu.utils.config import Config, load_config
 
+pytestmark = pytest.mark.slow  # compile-dominated e2e loops (~7 min cold)
+
 
 def _config(tmp_path, lists, name="P2p", size=64, **kw):
     base = dict(

@@ -61,6 +61,7 @@ def test_volume_patch_dataset(corpus):
     assert ev[0]["A"].shape == (4, 32, 32, 1)
 
 
+@pytest.mark.slow
 def test_p3d_trainer_end_to_end(tmp_path, corpus):
     cfg = load_config(dict(
         name="P3d", size=32, patch_depth=4,

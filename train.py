@@ -42,12 +42,31 @@ def main():
         "--series", type=str, default=None,
         help="infer mode: path to an SE0 series directory (whole volume).",
     )
+    parser.add_argument(
+        "--train-list", type=str, default=None,
+        help="Override config train_list (path-list file).",
+    )
+    parser.add_argument(
+        "--val-list", type=str, default=None,
+        help="Override config val_list.",
+    )
+    parser.add_argument(
+        "--test-list", type=str, default=None,
+        help="Override config test_list — e.g. a per-vendor list from "
+        "`python -m ctagan_tpu.data.corpus --equip-split`.",
+    )
     opts = parser.parse_args()
 
     from ctagan_tpu.train import build_trainer
     from ctagan_tpu.utils.config import load_config
 
     config = load_config(opts.config)
+    if opts.train_list:
+        config.train_list = opts.train_list
+    if opts.val_list:
+        config.val_list = opts.val_list
+    if opts.test_list:
+        config.test_list = opts.test_list
     seed_everything(config.seed)
     trainer = build_trainer(config)
     if config.name == "HdGan2" and trainer.start_epoch == 0:
