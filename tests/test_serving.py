@@ -83,3 +83,30 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(f"http://127.0.0.1:{server}/nope")
     assert ei.value.code == 404
+
+
+class _ScaleModel:
+    """Stand-in 'model' so the pipelining test checks request->result
+    mapping exactly (output = input * k)."""
+
+    def apply(self, params, x):
+        return x * params["k"]
+
+
+def test_pipelined_dispatch_preserves_request_mapping():
+    from ctagan_tpu.serving.server import SynthesisService
+
+    svc = SynthesisService(
+        _ScaleModel(), {"k": 2.0}, size=8, max_batch=2,
+        batch_timeout_ms=2.0, pipeline_depth=3,
+    )
+    try:
+        rng = np.random.default_rng(0)
+        images = [rng.uniform(-1, 1, (8, 8)).astype(np.float32) for _ in range(16)]
+        with concurrent.futures.ThreadPoolExecutor(16) as ex:
+            outs = list(ex.map(svc.synthesize, images))
+        for img, out in zip(images, outs):
+            np.testing.assert_allclose(out, img * 2.0, rtol=1e-6)
+        assert svc.stats()["pipeline_depth"] == 3
+    finally:
+        svc.stop()
