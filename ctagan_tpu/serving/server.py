@@ -56,6 +56,7 @@ class SynthesisService:
         max_batch: int = 8,
         batch_timeout_ms: float = 5.0,
         pipeline_depth: int = 2,
+        quantize: str = "",
     ):
         import jax
 
@@ -63,9 +64,21 @@ class SynthesisService:
         self.max_batch = max_batch
         self.batch_timeout = batch_timeout_ms / 1e3
         self.pipeline_depth = max(1, pipeline_depth)
+        self.quantize = quantize
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
-        self._fwd = jax.jit(lambda p, x: g_model.apply(p, x))
-        self._params = params
+        if quantize == "int8":
+            from ctagan_tpu.ops.quantize import (
+                generator_int8_forward,
+                quantize_generator,
+            )
+
+            self._fwd = jax.jit(generator_int8_forward)
+            self._params = quantize_generator(params)
+        elif quantize:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        else:
+            self._fwd = jax.jit(lambda p, x: g_model.apply(p, x))
+            self._params = params
         self._latencies = []
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -147,6 +160,7 @@ class SynthesisService:
             "p50_batch_ms": float(np.median(lats) * 1e3) if lats else None,
             "max_batch": self.max_batch,
             "pipeline_depth": self.pipeline_depth,
+            "quantize": self.quantize or None,
             "size": self.size,
         }
 
@@ -218,12 +232,13 @@ def serve(
     size: int = 512,
     max_batch: int = 8,
     pipeline_depth: int = 2,
+    quantize: str = "",
 ):
     """Start the synthesis HTTP server (blocking); returns (server, service)
     when used programmatically via ``serve_async``."""
     service = SynthesisService(
         g_model, params, size=size, max_batch=max_batch,
-        pipeline_depth=pipeline_depth,
+        pipeline_depth=pipeline_depth, quantize=quantize,
     )
     server = ThreadingHTTPServer((host, port), _make_handler(service))
     server.serve_forever()

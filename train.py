@@ -106,8 +106,15 @@ def main():
             if found:
                 trainer.load_generator(found[0])
         port = int(config.extras.get("serve_port", 8080))
-        print(f"serving CT->CTA synthesis on :{port} (POST /synthesize)")
-        serve(trainer.g_model, trainer._g_params(), port=port, size=config.size)
+        quantize = str(config.extras.get("serve_quantize", "") or "")
+        print(
+            f"serving CT->CTA synthesis on :{port} (POST /synthesize)"
+            + (f" [{quantize}]" if quantize else "")
+        )
+        serve(
+            trainer.g_model, trainer._g_params(), port=port, size=config.size,
+            quantize=quantize,
+        )
 
 
 if __name__ == "__main__":
