@@ -72,12 +72,22 @@ class ResidualBlock3D(nn.Module):
 
 
 class Generator3D(nn.Module):
-    """NDHWC volume-to-volume generator. Input (N, D, H, W, C)."""
+    """NDHWC volume-to-volume generator. Input (N, D, H, W, C).
+
+    ``depth_strides`` sets the depth stride of the two downsampling stages
+    (mirrored in the up path). The default (1, 1) keeps depth full-res —
+    right for routine anisotropic CT series (~5 mm slices vs ~0.7 mm
+    pixels). For thin-slice near-isotropic acquisitions set (1, 2) or
+    (2, 2) (config ``depth_downsample`` 2 / 4): the residual body then runs
+    on a depth-reduced volume, cutting its FLOPs/memory by the same factor
+    and growing the through-plane receptive field to match in-plane.
+    """
 
     input_nc: int = 1
     output_nc: int = 1
     n_residual_blocks: int = 6
     base_features: int = 32
+    depth_strides: tuple = (1, 1)
     dtype: Any = None
 
     @nn.compact
@@ -87,21 +97,21 @@ class Generator3D(nn.Module):
                    dtype=self.dtype)(x)
         h = instance_norm3d(h)
         h = nn.relu(h)
-        # downsample H, W only (depth is coarse already in CT series)
-        for mult in (2, 4):
+        for mult, ds in zip((2, 4), self.depth_strides):
             h = Conv3d(
-                f * mult, strides=(1, 2, 2), dtype=self.dtype
+                f * mult, strides=(ds, 2, 2), dtype=self.dtype
             )(h)
             h = instance_norm3d(h)
             h = nn.relu(h)
         for _ in range(self.n_residual_blocks):
             h = ResidualBlock3D(f * 4, dtype=self.dtype)(h)
-        for mult in (2, 1):
+        for mult, ds in zip((2, 1), self.depth_strides[::-1]):
+            dpad = (1, 2) if ds == 2 else (1, 1)
             h = nn.ConvTranspose(
                 f * mult,
                 (3, 3, 3),
-                strides=(1, 2, 2),
-                padding=[(1, 1), (1, 2), (1, 2)],
+                strides=(ds, 2, 2),
+                padding=[dpad, (1, 2), (1, 2)],
                 transpose_kernel=True,
                 dtype=self.dtype,
             )(h)

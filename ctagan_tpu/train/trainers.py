@@ -754,8 +754,10 @@ class P3dTrainer(TrainerBase):
     def _build_generator(self):
         from ctagan_tpu.models.volumetric import Generator3D
 
+        ds = {1: (1, 1), 2: (1, 2), 4: (2, 2)}[self.config.depth_downsample]
         return Generator3D(
-            self.config.input_nc, self.config.output_nc, dtype=_dtype(self.config)
+            self.config.input_nc, self.config.output_nc, depth_strides=ds,
+            dtype=_dtype(self.config),
         )
 
     def _build_models(self):

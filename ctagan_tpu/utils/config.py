@@ -68,6 +68,8 @@ class Config:
     reg_downsample: int = 1  # >1: registration net at reduced resolution
     ema_decay: float = 0.0  # >0: keep an EMA of G params, used for eval
     patch_depth: int = 8  # 3-D family (P3d): slices per depth window
+    depth_downsample: int = 1  # P3d: depth reduction in the generator body
+    # (1 = anisotropic default, full-depth body; 2/4 for thin-slice series)
     data_parallel: bool = True  # shard batch over all local devices
     val_every: int = 5  # epochs between validations (reference: hardcoded 5)
     log_every: int = 50  # steps between stdout log lines
@@ -94,6 +96,10 @@ class Config:
             raise ValueError(f"unknown checkpoint_backend {self.checkpoint_backend}")
         if self.batchSize < 1:
             raise ValueError("batchSize must be >= 1")
+        if self.depth_downsample not in (1, 2, 4):
+            raise ValueError("depth_downsample must be 1, 2 or 4")
+        if self.patch_depth % self.depth_downsample != 0:
+            raise ValueError("patch_depth must be divisible by depth_downsample")
         return self
 
 

@@ -95,3 +95,25 @@ def test_infer_volume_3d_short_series():
     vol = np.random.default_rng(2).uniform(-1, 1, (3, 8, 8)).astype(np.float32)
     out = infer_volume_3d(lambda p, x: x, None, vol, depth=8)
     np.testing.assert_allclose(out, vol, atol=1e-5)
+
+
+@pytest.mark.parametrize("strides", [(1, 2), (2, 2)])
+def test_generator3d_depth_downsample_shapes(strides):
+    from ctagan_tpu.models.volumetric import Generator3D
+
+    g = Generator3D(1, 1, n_residual_blocks=1, depth_strides=strides)
+    x = jnp.zeros((1, 4, 16, 16, 1))
+    params = g.init(jax.random.PRNGKey(0), x)
+    out = g.apply(params, x)
+    assert out.shape == x.shape  # depth restored by the mirrored up path
+
+
+def test_depth_downsample_config_validation():
+    from ctagan_tpu.utils.config import load_config
+
+    with pytest.raises(ValueError):
+        load_config(dict(depth_downsample=3))
+    with pytest.raises(ValueError):
+        load_config(dict(depth_downsample=4, patch_depth=6))
+    cfg = load_config(dict(name="P3d", depth_downsample=2, patch_depth=8))
+    assert cfg.depth_downsample == 2
