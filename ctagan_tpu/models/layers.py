@@ -248,6 +248,55 @@ class RegConv(nn.Module):
         return x
 
 
+class _ConvParams(nn.Module):
+    """Declares kernel/bias under nn.Conv's param names without applying the
+    conv — lets a fused forward reuse the exact param-tree slot that a
+    ``ConvTorch`` would create (checkpoints interchange bit-for-bit)."""
+
+    shape: tuple  # (kh, kw, cin, cout)
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return k, b
+
+
+class _ConvTorchParams(nn.Module):
+    shape: tuple
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.shape, self.kernel_init, name="Conv_0")()
+
+
+class FusedUpRegConv(nn.Module):
+    """Fused ResUNet up stage: ``leaky_relu(conv3x3(concat(up2x(x), skip)))``
+    with the upsample/concat folded into the conv (ops/fused_up.py). The
+    param tree is identical to ``RegConv(features, 3, 1, 1)`` named the same
+    way, so fused and unfused checkpoints interchange."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x_low, skip):
+        from ctagan_tpu.ops.fused_up import fused_up_concat_conv
+
+        cin = x_low.shape[-1] + skip.shape[-1]
+        k, b = _ConvTorchParams(
+            (3, 3, cin, self.features), kaiming_normal_init(0.2),
+            name="ConvTorch_0",
+        )()
+        if self.dtype is not None:
+            x_low = x_low.astype(self.dtype)
+            skip = skip.astype(self.dtype)
+        y = fused_up_concat_conv(x_low, skip, k, b, dtype=self.dtype)
+        return leaky_relu(y, 0.2)
+
+
 class RegResnetBlock(nn.Module):
     """layers.py:244-300 ``ResnetBlock``: reflect 3x3 conv + IN + ReLU +
     reflect 3x3 conv + IN, additive skip; kaiming init, zero bias."""

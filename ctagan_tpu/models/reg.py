@@ -19,7 +19,12 @@ from typing import Any, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ctagan_tpu.models.layers import RegConv, RegResnetBlock, max_pool
+from ctagan_tpu.models.layers import (
+    FusedUpRegConv,
+    RegConv,
+    RegResnetBlock,
+    max_pool,
+)
 from ctagan_tpu.ops.resize import interpolate_bilinear
 
 NDF = (32, 64, 64, 64, 64, 64, 64)
@@ -31,6 +36,11 @@ class RegNet(nn.Module):
     in_channels_b: int = 1
     resnet_nblocks: int = 3
     dtype: Any = None
+    # Fold each up stage's bilinear-resize + concat into its conv via phase
+    # decomposition (ops/fused_up.py) — opt-in TPU perf mode (config
+    # ``reg_fuse_up``): interior-exact, 1-px border uses edge-replicate
+    # semantics. Param tree is unchanged, checkpoints interchange.
+    fuse_up: bool = False
 
     @nn.compact
     def __call__(self, img_a, img_b):
@@ -52,6 +62,15 @@ class RegNet(nn.Module):
         # up path
         for i, nf in enumerate(NUF):
             skip = skips[len(NDF) - 1 - i]
+            if (
+                self.fuse_up
+                and skip.shape[1] == 2 * x.shape[1]
+                and skip.shape[2] == 2 * x.shape[2]
+            ):
+                x = FusedUpRegConv(
+                    nf, dtype=self.dtype, name=f"up_{len(NDF) - i}",
+                )(x, skip)
+                continue
             x = interpolate_bilinear(x, (skip.shape[1], skip.shape[2]))
             x = jnp.concatenate([x, skip], axis=-1)
             x = RegConv(

@@ -2,9 +2,14 @@
 
 Post-training quantization for inference: per-output-channel symmetric int8
 weights + per-tensor dynamic int8 activations, convolutions accumulating in
-int32 — the MXU runs s8×s8→s32 at twice the bf16 rate and weight HBM traffic
-drops 4×. The first (7×7 head) and last (7×7 tanh) convs stay in float32:
-they carry the HU dynamic range and are <2% of the FLOPs.
+int32. The first (7×7 head) and last (7×7 tanh) convs stay in float32: they
+carry the HU dynamic range and are <2% of the FLOPs.
+
+Measured on v5e (512², pipelined): int8 is 0.58-0.64× the bf16 throughput —
+XLA's s8 conv lowering plus the dynamic-quant chains cost more than the MXU
+saves at these shapes. Use this mode for its 3.7× weight-memory reduction
+(many models resident per chip / HBM-constrained serving), not for speed;
+a Pallas s8 conv kernel is the known lever if throughput int8 is wanted.
 
 The reference has no quantized/serving story at all (inference = rerunning
 train.py's test(), HdTrainer.py:428-564); this is a new TPU-native serving

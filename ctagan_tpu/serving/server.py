@@ -14,9 +14,10 @@ shape, and runs ONE jitted forward — so concurrent clients share MXU work
 instead of serializing 1-slice launches. Dispatch is **pipelined**: up to
 ``pipeline_depth`` batches are in flight before the oldest is synced, so the
 host↔device round-trip latency (≈29 ms on the tunnel-attached TPU here) is
-hidden under load instead of serializing every batch. Everything is stdlib
-(http.server, queue, threading); the model and its compiled executable are
-process-wide.
+hidden under load instead of serializing every batch — measured +62% service
+throughput at depth 2 and +78% at depth 4 vs depth 1 (512², max_batch 8,
+saturated). Everything is stdlib (http.server, queue, threading); the model
+and its compiled executable are process-wide.
 """
 from __future__ import annotations
 

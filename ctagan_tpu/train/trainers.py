@@ -580,7 +580,10 @@ class RegTrainer(TrainerBase):
 
     def _build_models(self):
         cfg = self.config
-        self.r_model = RegNet(cfg.input_nc, cfg.input_nc, dtype=_dtype(cfg))
+        self.r_model = RegNet(
+            cfg.input_nc, cfg.input_nc, dtype=_dtype(cfg),
+            fuse_up=cfg.reg_fuse_up,
+        )
         self.d_model = Discriminator(cfg.input_nc, dtype=_dtype(cfg))
 
     def _init_state(self):
@@ -662,7 +665,10 @@ class HdTrainerStage2(RegTrainer):
 
     def _build_models(self):
         cfg = self.config
-        self.r_model = RegNet(cfg.input_nc, cfg.input_nc, dtype=_dtype(cfg))
+        self.r_model = RegNet(
+            cfg.input_nc, cfg.input_nc, dtype=_dtype(cfg),
+            fuse_up=cfg.reg_fuse_up,
+        )
         # reference defaults: num_D=1, center-crop pyramid (HdGan.py:208,251);
         # both overridable from YAML extras for multi-scale experiments
         self.d_model = MultiScaleDiscriminator(

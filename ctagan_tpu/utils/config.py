@@ -66,6 +66,8 @@ class Config:
     context_slices: int = 1  # 2.5-D input context (odd; 1 = reference behavior)
     warp_max_disp: int = 0  # >0: gather-free local warp with this radius (px)
     reg_downsample: int = 1  # >1: registration net at reduced resolution
+    reg_fuse_up: bool = False  # fold ResUNet up-path resize+concat into the
+    # conv (phase decomposition; interior-exact, 1-px border approximated)
     ema_decay: float = 0.0  # >0: keep an EMA of G params, used for eval
     patch_depth: int = 8  # 3-D family (P3d): slices per depth window
     depth_downsample: int = 1  # P3d: depth reduction in the generator body
