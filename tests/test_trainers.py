@@ -289,3 +289,10 @@ def test_cyclegan_ema(tmp_path, corpus):
     t.train(max_steps_per_epoch=1)
     for a, b in zip(jax.tree.leaves(t._g_params()), jax.tree.leaves(t.state.g_ema)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reggan_fused_up_option(tmp_path, corpus):
+    cfg = _config(tmp_path, corpus, name="RegGan", size=128, reg_fuse_up=True)
+    t = RegTrainer(cfg, quiet=True)
+    t.train(max_steps_per_epoch=1)
+    _losses_finite(t)
