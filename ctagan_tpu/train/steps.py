@@ -53,11 +53,22 @@ def _apply(tx, grads, opt_state, params, lr):
     return new_params, new_opt
 
 
-def _ema_update(ema, params, decay: float):
+def _ema_update(ema, params, decay: float, count=None):
     """Exponential moving average of generator params (production eval
-    trick — the reference has no EMA; opt-in via config ema_decay)."""
+    trick — the reference has no EMA; opt-in via config ema_decay).
+
+    The shadow starts at the random init, so a flat high decay leaves it
+    mostly-init for ~1/(1-decay) steps (measured: 0.999 made a 6-epoch
+    512² run validate at 13.8 dB vs ~24 dB live). With ``count`` (the
+    post-update optimizer step counter) the effective decay ramps as
+    ``min(decay, (1+t)/(10+t))`` — the TF ExponentialMovingAverage
+    num_updates convention — tracking params closely early and
+    asymptoting to the configured decay."""
     if ema is None:
         return None
+    if count is not None:
+        t = jnp.asarray(count, jnp.float32)
+        decay = jnp.minimum(decay, (1.0 + t) / (10.0 + t))
     return jax.tree.map(lambda e, p: e * decay + p * (1.0 - decay), ema, params)
 
 
@@ -127,7 +138,8 @@ def p2p_train_step(g_model, d_model, tx, cfg, state: P2pState, batch, lr):
     d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
     d_params, d_opt = _apply(tx, d_grads, state.d_opt, state.d_params, lr)
 
-    g_ema = _ema_update(state.g_ema, g_params, cfg.get("ema_decay", 0.999))
+    g_ema = _ema_update(state.g_ema, g_params, cfg.get("ema_decay", 0.999),
+                        count=g_opt.count)
     new_state = P2pState(g_params, d_params, g_opt, d_opt, rng, g_ema)
     return new_state, {
         "loss_G": g_loss,
@@ -186,7 +198,8 @@ def p3d_train_step(g_model, d_model, tx, cfg, state: P2pState, batch, lr):
     d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
     d_params, d_opt = _apply(tx, d_grads, state.d_opt, state.d_params, lr)
 
-    g_ema = _ema_update(state.g_ema, g_params, cfg.get("ema_decay", 0.999))
+    g_ema = _ema_update(state.g_ema, g_params, cfg.get("ema_decay", 0.999),
+                        count=g_opt.count)
     new_state = P2pState(g_params, d_params, g_opt, d_opt, rng, g_ema)
     return new_state, {
         "loss_G": g_loss,
@@ -302,7 +315,8 @@ def cyc_train_step(g_model, d_model, tx, cfg, state: CycState, batch, lr):
     )
     d_b_params, d_b_opt = _apply(tx, d_b_grads, state.d_b_opt, state.d_b_params, lr)
 
-    g_ema = _ema_update(state.g_ema, g_a2b, cfg.get("ema_decay", 0.999))
+    g_ema = _ema_update(state.g_ema, g_a2b, cfg.get("ema_decay", 0.999),
+                        count=g_opt.count)
     new_state = CycState(
         g_a2b, g_b2a, d_a_params, d_b_params, g_opt, d_a_opt, d_b_opt,
         buf_a, buf_b, rng, g_ema,
@@ -468,7 +482,8 @@ def reg_train_step(
     d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
     d_params, d_opt = _apply(tx, d_grads, state.d_opt, state.d_params, lr_d)
 
-    g_ema = _ema_update(state.g_ema, g_params, cfg.get("ema_decay", 0.999))
+    g_ema = _ema_update(state.g_ema, g_params, cfg.get("ema_decay", 0.999),
+                        count=g_opt.count)
     new_state = RegState(
         g_params, r_params, d_params, g_opt, r_opt, d_opt, rng, g_ema
     )

@@ -100,3 +100,22 @@ def test_step_timer():
     s = st.summary()
     assert 5 < s["p50_ms"] < 100
     assert s["steps_per_sec"] > 5
+
+
+def test_ema_ramp_debiases_short_runs():
+    """ema_decay=0.999 must not leave the shadow ~= random init on short
+    runs: the effective decay ramps as min(decay, (1+t)/(10+t))."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ctagan_tpu.train.steps import _ema_update
+
+    ema = {"w": jnp.zeros(3)}
+    params = {"w": jnp.ones(3)}
+    out = _ema_update(ema, params, 0.999, count=0)  # eff decay 0.1
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.9, rtol=1e-6)
+    out2 = _ema_update(ema, params, 0.999, count=10**6)  # asymptotic
+    np.testing.assert_allclose(np.asarray(out2["w"]), 0.001, rtol=1e-4)
+    # no count (legacy callers): flat decay
+    out3 = _ema_update(ema, params, 0.999)
+    np.testing.assert_allclose(np.asarray(out3["w"]), 0.001, rtol=1e-4)
