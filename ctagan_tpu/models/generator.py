@@ -30,28 +30,39 @@ class Generator(nn.Module):
     dtype: Any = None
     remat: bool = False  # rematerialize residual blocks (activation memory
     # ~/n_blocks in backward — enables much larger per-chip batch at 512²)
+    # spatial sharding (parallel/halo.py): the H axis is a strip of a larger
+    # image carrying ``halo`` ghost rows on each side; InstanceNorm stats
+    # then combine across the mesh axis so the sharded forward matches the
+    # unsharded one. halo must be divisible by 4 (the generator's stride).
+    spatial_axis: Any = None
+    halo: int = 0
 
     @nn.compact
     def __call__(self, x):
         f = self.base_features
-        block_cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
+        ax = self.spatial_axis
+
+        def block_cls(feats, halo):
+            cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
+            return cls(feats, dtype=self.dtype, spatial_axis=ax, halo=halo)
+
         # head: c7s1-64
         h = reflect_pad(x, 3)
         h = ConvTorch(f, 7, dtype=self.dtype)(h)
-        h = instance_norm(h)
+        h = instance_norm(h, spatial_axis=ax, halo=self.halo)
         h = nn.relu(h)
         # downsampling 64 -> 128 -> 256
-        for mult in (2, 4):
+        for mult, div in ((2, 2), (4, 4)):
             h = ConvTorch(f * mult, 3, stride=2, padding=1, dtype=self.dtype)(h)
-            h = instance_norm(h)
+            h = instance_norm(h, spatial_axis=ax, halo=self.halo // div)
             h = nn.relu(h)
         # residual body at 256 channels
         for _ in range(self.n_residual_blocks):
-            h = block_cls(f * 4, dtype=self.dtype)(h)
+            h = block_cls(f * 4, self.halo // 4)(h)
         # upsampling 256 -> 128 -> 64
-        for mult in (2, 1):
+        for mult, div in ((2, 2), (1, 1)):
             h = ConvTransposeTorch(f * mult, dtype=self.dtype)(h)
-            h = instance_norm(h)
+            h = instance_norm(h, spatial_axis=ax, halo=self.halo // div)
             h = nn.relu(h)
         # output head
         h = reflect_pad(h, 3)

@@ -66,9 +66,39 @@ def reflect_pad(x, pad: int):
 USE_PALLAS_INSTANCE_NORM = False
 
 
-def instance_norm(x, eps: float = 1e-5):
+def instance_norm(x, eps: float = 1e-5, spatial_axis: Optional[str] = None,
+                  halo: int = 0):
     """InstanceNorm2d(affine=False, track_running_stats=False): normalize each
-    (sample, channel) plane over H, W. Stats in fp32 for bf16 inputs."""
+    (sample, channel) plane over H, W. Stats in fp32 for bf16 inputs.
+
+    ``spatial_axis``: when running inside a ``shard_map`` that shards H over
+    a mesh axis (parallel/halo.py), statistics must cover the full sharded
+    image exactly once: each device masks out its ghost rows (halo rows
+    duplicated from neighbours) EXCEPT the outer halos of the first/last
+    device — those are the symmetric border extension, which the reference
+    computation (unsharded forward over the symmetric-extended image) also
+    sees — and the sums combine with a ``psum`` over the axis. This makes
+    the sharded forward bit-match the extended-image forward everywhere."""
+    if spatial_axis is not None:
+        xf = x.astype(jnp.float32)
+        h = xf.shape[1]
+        idx = jax.lax.axis_index(spatial_axis)
+        nproc = jax.lax.psum(1, spatial_axis)
+        rows = jnp.arange(h)
+        ghost_top = (rows < halo) & (idx != 0)
+        ghost_bot = (rows >= h - halo) & (idx != nproc - 1)
+        w = jnp.where(ghost_top | ghost_bot, 0.0, 1.0)[None, :, None, None]
+        s1 = jax.lax.psum(
+            jnp.sum(xf * w, axis=(1, 2), keepdims=True), spatial_axis
+        )
+        n = jax.lax.psum(jnp.sum(w) * xf.shape[2], spatial_axis)
+        mean = s1 / n
+        s2 = jax.lax.psum(
+            jnp.sum(((xf - mean) ** 2) * w, axis=(1, 2), keepdims=True),
+            spatial_axis,
+        )
+        var = s2 / n
+        return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     if USE_PALLAS_INSTANCE_NORM and x.shape[1] % 16 == 0 and x.shape[2] >= 128:
         from ctagan_tpu.ops.pallas_kernels import instance_norm_pallas
 
@@ -196,20 +226,23 @@ class ConvTransposeTorch(nn.Module):
 
 class ResidualBlock(nn.Module):
     """reflect-pad 3x3 conv + IN + ReLU + reflect-pad 3x3 conv + IN, additive
-    skip (CycleGan.py:6-21)."""
+    skip (CycleGan.py:6-21). ``spatial_axis``/``halo``: distributed IN stats
+    when H is sharded over a mesh axis (parallel/halo.py)."""
 
     features: int
     dtype: Any = None
+    spatial_axis: Optional[str] = None
+    halo: int = 0
 
     @nn.compact
     def __call__(self, x):
         h = reflect_pad(x, 1)
         h = ConvTorch(self.features, 3, dtype=self.dtype)(h)
-        h = instance_norm(h)
+        h = instance_norm(h, spatial_axis=self.spatial_axis, halo=self.halo)
         h = nn.relu(h)
         h = reflect_pad(h, 1)
         h = ConvTorch(self.features, 3, dtype=self.dtype)(h)
-        h = instance_norm(h)
+        h = instance_norm(h, spatial_axis=self.spatial_axis, halo=self.halo)
         return x + h
 
 
