@@ -36,19 +36,28 @@ class Generator(nn.Module):
     # unsharded one. halo must be divisible by 4 (the generator's stride).
     spatial_axis: Any = None
     halo: int = 0
+    # 'reflect' (reference semantics) or 'zero': zero padding fuses into the
+    # convs instead of materializing padded copies — measured −12% forward
+    # at 512² b=32 bf16. Changes boundary behavior; use for from-scratch
+    # training (config pad_mode), not for imported reference checkpoints.
+    pad_mode: str = "reflect"
 
     @nn.compact
     def __call__(self, x):
         f = self.base_features
         ax = self.spatial_axis
+        zero = self.pad_mode == "zero"
 
         def block_cls(feats, halo):
             cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
-            return cls(feats, dtype=self.dtype, spatial_axis=ax, halo=halo)
+            return cls(feats, dtype=self.dtype, spatial_axis=ax, halo=halo,
+                       pad_mode=self.pad_mode)
 
         # head: c7s1-64
-        h = reflect_pad(x, 3)
-        h = ConvTorch(f, 7, dtype=self.dtype)(h)
+        if zero:
+            h = ConvTorch(f, 7, padding=3, dtype=self.dtype)(x)
+        else:
+            h = ConvTorch(f, 7, dtype=self.dtype)(reflect_pad(x, 3))
         h = instance_norm(h, spatial_axis=ax, halo=self.halo)
         h = nn.relu(h)
         # downsampling 64 -> 128 -> 256
@@ -65,6 +74,8 @@ class Generator(nn.Module):
             h = instance_norm(h, spatial_axis=ax, halo=self.halo // div)
             h = nn.relu(h)
         # output head
-        h = reflect_pad(h, 3)
-        h = ConvTorch(self.output_nc, 7, dtype=self.dtype)(h)
+        if zero:
+            h = ConvTorch(self.output_nc, 7, padding=3, dtype=self.dtype)(h)
+        else:
+            h = ConvTorch(self.output_nc, 7, dtype=self.dtype)(reflect_pad(h, 3))
         return nn.tanh(h)

@@ -233,21 +233,29 @@ class ConvTransposeTorch(nn.Module):
 class ResidualBlock(nn.Module):
     """reflect-pad 3x3 conv + IN + ReLU + reflect-pad 3x3 conv + IN, additive
     skip (CycleGan.py:6-21). ``spatial_axis``/``halo``: distributed IN stats
-    when H is sharded over a mesh axis (parallel/halo.py)."""
+    when H is sharded over a mesh axis (parallel/halo.py). ``pad_mode``:
+    'reflect' (reference) or 'zero' — zero padding folds into the conv op
+    instead of materializing a padded copy (TPU perf option, −12% fwd)."""
 
     features: int
     dtype: Any = None
     spatial_axis: Optional[str] = None
     halo: int = 0
+    pad_mode: str = "reflect"
 
     @nn.compact
     def __call__(self, x):
-        h = reflect_pad(x, 1)
-        h = ConvTorch(self.features, 3, dtype=self.dtype)(h)
+        zero = self.pad_mode == "zero"
+
+        def conv(h):
+            if zero:
+                return ConvTorch(self.features, 3, padding=1, dtype=self.dtype)(h)
+            return ConvTorch(self.features, 3, dtype=self.dtype)(reflect_pad(h, 1))
+
+        h = conv(x)
         h = instance_norm(h, spatial_axis=self.spatial_axis, halo=self.halo)
         h = nn.relu(h)
-        h = reflect_pad(h, 1)
-        h = ConvTorch(self.features, 3, dtype=self.dtype)(h)
+        h = conv(h)
         h = instance_norm(h, spatial_axis=self.spatial_axis, halo=self.halo)
         return x + h
 

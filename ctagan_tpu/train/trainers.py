@@ -120,6 +120,7 @@ class TrainerBase:
             self.config.output_nc,
             dtype=_dtype(self.config),
             remat=self.config.remat,
+            pad_mode=self.config.pad_mode,
         )
 
     def _build_models(self):

@@ -68,6 +68,8 @@ class Config:
     reg_downsample: int = 1  # >1: registration net at reduced resolution
     reg_fuse_up: bool = False  # fold ResUNet up-path resize+concat into the
     # conv (phase decomposition; interior-exact, 1-px border approximated)
+    pad_mode: str = "reflect"  # generator padding: 'reflect' (reference) or
+    # 'zero' (fuses into convs, −12% fwd; for from-scratch training)
     ema_decay: float = 0.0  # >0: keep an EMA of G params, used for eval
     patch_depth: int = 8  # 3-D family (P3d): slices per depth window
     depth_downsample: int = 1  # P3d: depth reduction in the generator body
@@ -98,6 +100,8 @@ class Config:
             raise ValueError(f"unknown checkpoint_backend {self.checkpoint_backend}")
         if self.batchSize < 1:
             raise ValueError("batchSize must be >= 1")
+        if self.pad_mode not in ("reflect", "zero"):
+            raise ValueError("pad_mode must be 'reflect' or 'zero'")
         if self.depth_downsample not in (1, 2, 4):
             raise ValueError("depth_downsample must be 1, 2 or 4")
         if self.patch_depth % self.depth_downsample != 0:

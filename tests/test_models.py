@@ -150,3 +150,28 @@ def test_regnet_is_differentiable():
 
     g = jax.grad(loss)(params)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(g))
+
+
+def test_generator_pad_mode_zero():
+    from ctagan_tpu.models import Generator
+
+    g_ref = Generator(1, 1, n_residual_blocks=2)
+    g_zero = Generator(1, 1, n_residual_blocks=2, pad_mode="zero")
+    x = jnp.zeros((1, 64, 64, 1))
+    p_ref = g_ref.init(jax.random.PRNGKey(0), x)
+    p_zero = g_zero.init(jax.random.PRNGKey(0), x)
+    # padding mode does not change the parameter tree: checkpoints carry over
+    assert jax.tree.structure(p_ref) == jax.tree.structure(p_zero)
+    out = g_zero.apply(p_zero, jnp.ones((2, 64, 64, 1)) * 0.5)
+    assert out.shape == (2, 64, 64, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_pad_mode_config_validation():
+    import pytest as _pytest
+
+    from ctagan_tpu.utils.config import load_config
+
+    with _pytest.raises(ValueError):
+        load_config(dict(pad_mode="circular"))
+    assert load_config(dict(pad_mode="zero")).pad_mode == "zero"
