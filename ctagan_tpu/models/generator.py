@@ -41,6 +41,11 @@ class Generator(nn.Module):
     # at 512² b=32 bf16. Changes boundary behavior; use for from-scratch
     # training (config pad_mode), not for imported reference checkpoints.
     pad_mode: str = "reflect"
+    # Inference-only: run the residual body through the fused conv+IN Pallas
+    # kernel (ops/fused_resblock.py) — no standalone InstanceNorm memory
+    # passes. Same param tree as the XLA path (checkpoints interchange);
+    # falls back per-block when shapes can't fuse. Not differentiable.
+    fused_body: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -51,7 +56,7 @@ class Generator(nn.Module):
         def block_cls(feats, halo):
             cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
             return cls(feats, dtype=self.dtype, spatial_axis=ax, halo=halo,
-                       pad_mode=self.pad_mode)
+                       pad_mode=self.pad_mode, fused=self.fused_body)
 
         # head: c7s1-64
         if zero:

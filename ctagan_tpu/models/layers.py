@@ -242,10 +242,42 @@ class ResidualBlock(nn.Module):
     spatial_axis: Optional[str] = None
     halo: int = 0
     pad_mode: str = "reflect"
+    # Route through the fused conv+IN Pallas kernel (ops/fused_resblock.py):
+    # both convs, both norms and the inter-conv ReLU execute in two kernel
+    # launches with no standalone InstanceNorm memory passes. Forward-only
+    # (no autodiff rule) — inference/eval/serving. Param tree is identical
+    # to the unfused path, so checkpoints interchange bit-for-bit. Falls
+    # back silently when the shape/pad-mode/sharding can't fuse.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
         zero = self.pad_mode == "zero"
+        if (
+            self.fused
+            and not zero
+            and self.spatial_axis is None
+        ):
+            from ctagan_tpu.ops.fused_resblock import (
+                can_fuse,
+                fused_residual_block,
+            )
+
+            if can_fuse(x.shape) and self.features % 128 == 0:
+                cin = x.shape[-1]
+                k1, b1 = _ConvTorchParams(
+                    (3, 3, cin, self.features), torch_conv_kernel_init(),
+                    torch_conv_bias_init((3, 3), cin), name="ConvTorch_0",
+                )()
+                k2, b2 = _ConvTorchParams(
+                    (3, 3, self.features, self.features),
+                    torch_conv_kernel_init(),
+                    torch_conv_bias_init((3, 3), self.features),
+                    name="ConvTorch_1",
+                )()
+                if self.dtype is not None:
+                    x = x.astype(self.dtype)
+                return fused_residual_block(x, k1, b1, k2, b2)
 
         def conv(h):
             if zero:
@@ -302,21 +334,25 @@ class _ConvParams(nn.Module):
 
     shape: tuple  # (kh, kw, cin, cout)
     kernel_init: Callable
+    bias_init: Callable = nn.initializers.zeros
 
     @nn.compact
     def __call__(self):
         k = self.param("kernel", self.kernel_init, self.shape)
-        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        b = self.param("bias", self.bias_init, (self.shape[-1],))
         return k, b
 
 
 class _ConvTorchParams(nn.Module):
     shape: tuple
     kernel_init: Callable
+    bias_init: Callable = nn.initializers.zeros
 
     @nn.compact
     def __call__(self):
-        return _ConvParams(self.shape, self.kernel_init, name="Conv_0")()
+        return _ConvParams(
+            self.shape, self.kernel_init, self.bias_init, name="Conv_0"
+        )()
 
 
 class FusedUpRegConv(nn.Module):

@@ -6,7 +6,13 @@ from ctagan_tpu.ops.windowing import (
     body_mask,
     mask_background_to_air,
 )
-from ctagan_tpu.ops.warp import grid_sample_border, warp2d, warp2d_local
+from ctagan_tpu.ops.warp import (
+    grid_sample_border,
+    warp2d,
+    warp2d_adaptive,
+    warp2d_dense,
+    warp2d_local,
+)
 from ctagan_tpu.ops.resize import interpolate_nearest, interpolate_bilinear
 from ctagan_tpu.ops.augment import random_affine, affine_warp
 from ctagan_tpu.ops.quantize import (

@@ -125,6 +125,220 @@ def warp2d_local(src, flow, max_displacement: int = 4):
     return out
 
 
+def warp2d_adaptive(src, flow, max_local_disp: int = 4):
+    """Exact warp with a data-adaptive fast path (the TPU default).
+
+    A device-computed predicate ``max|flow| <= R`` picks, per call, between
+
+    - ``warp2d_local(src, flow, R)``: gather-free masked static shifts.
+      With the raw flow bounded by R its internal clip is a no-op, so the
+      result (and its autodiff, including the border-clamp flow gradient)
+      is EXACTLY the bilinear border-padded sample — no saturation ever
+      applies on this branch;
+    - ``warp2d``: the general gather formulation, for the rare call whose
+      flow exceeds R anywhere.
+
+    Registration flows are near-identity by construction (zero-init head +
+    smoothness prior), so training takes the shift branch essentially
+    always — replacing XLA's serial gather (fwd) and scatter-add (bwd)
+    with dense VPU work — while pathological flows silently keep exact
+    gather semantics. Differentiable through ``lax.cond`` (each branch
+    uses its own autodiff; no custom VJP needed).
+
+    Measured on v5e 512² b=1 (fwd+bwd, isolated): gather 15.8 ms; a
+    dynamic-offset ring variant (``warp2d_dense``) 97 ms (dynamic rolls
+    lower as unaligned dynamic slices — kept only as a documented negative
+    result); this adaptive form rides the warp_max_disp fast path
+    (HD step 130.6 -> 113.4 ms in the perf ladder) at exact semantics.
+    """
+    r = int(max_local_disp)
+    small = jnp.max(jnp.abs(flow)) <= r
+    return jax.lax.cond(
+        small,
+        lambda args: warp2d_local(args[0], args[1], r),
+        lambda args: warp2d(args[0], args[1]),
+        (src, flow),
+    )
+
+
+def _corner_fields(h, w, flow):
+    """Per-pixel bilinear corner data for the dense ring formulation.
+
+    Returns integer corner offsets (ay0, ay1, ax0, ax1 = corner index minus
+    pixel index), fractional weights (wy, wx) and clip-gradient masks
+    (inb_y, inb_x), all (N, H, W)."""
+    n = flow.shape[0]
+    yy = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 2)
+    cy_raw = yy.astype(jnp.float32) + flow[..., 0].astype(jnp.float32)
+    cx_raw = xx.astype(jnp.float32) + flow[..., 1].astype(jnp.float32)
+    cy = jnp.clip(cy_raw, 0.0, h - 1.0)
+    cx = jnp.clip(cx_raw, 0.0, w - 1.0)
+    y0f = jnp.floor(cy)
+    x0f = jnp.floor(cx)
+    wy = cy - y0f
+    wx = cx - x0f
+    y0 = y0f.astype(jnp.int32)
+    x0 = x0f.astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    inb_y = (cy_raw >= 0.0) & (cy_raw <= h - 1.0)
+    inb_x = (cx_raw >= 0.0) & (cx_raw <= w - 1.0)
+    return (y0 - yy, y1 - yy, x0 - xx, x1 - xx, wy, wx, inb_y, inb_x)
+
+
+def _roll2(x, sy, sx):
+    """Circular shift of (N, H, W, C) by dynamic (sy, sx). Wrapped-in values
+    are always multiplied by a zero mask at the call sites (the ring masks
+    vanish wherever the true shift would leave the image)."""
+    return jnp.roll(x, (sy, sx), axis=(1, 2))
+
+
+def _ring_bounds(ay0, ay1, ax0, ax1):
+    dymin = jnp.min(ay0)
+    dymax = jnp.max(ay1)
+    dxmin = jnp.min(ax0)
+    dxmax = jnp.max(ax1)
+    ny = dymax - dymin + 1
+    nx = dxmax - dxmin + 1
+    return dymin, dxmin, ny, nx
+
+
+@jax.custom_vjp
+def warp2d_dense(src, flow):
+    """Exact dense warp — same math as ``warp2d`` but gather/scatter-free.
+
+    TPUs lower arbitrary gathers (and especially the backward scatter-add)
+    serially: ``warp2d`` costs ~11 ms fwd + ~25 ms bwd at 512². This
+    formulation decomposes the bilinear sample by **integer displacement**:
+
+        out(q) = sum_o  m_o(q) * src[q + o],
+        m_o(q) = [(1-wy)·1{ay0=oy} + wy·1{ay1=oy}] ·
+                 [(1-wx)·1{ax0=ox} + wx·1{ax1=ox}]
+
+    where (ay*, ax*) are the per-pixel integer corner offsets. The offset
+    rectangle is computed **from the data on device** (a `fori_loop` with a
+    traced trip count), so the cost adapts to the actual flow magnitude:
+    registration flows are near-identity (zero-init head + smoothness
+    prior), giving a handful of shifted-image FMAs (~0.1 ms) instead of
+    gathers. Semantics are exact for ANY flow (unlike ``warp2d_local``,
+    which saturates at its radius): each term's shift is a masked roll, and
+    pathological flows whose offset rectangle exceeds ``_DENSE_MAX_TERMS``
+    fall back to the gather/scatter path inside a ``lax.cond``.
+
+    The custom VJP computes d/dsrc with the transposed ring (rolls of the
+    masked cotangent — no scatter) and d/dflow with the derivative masks in
+    the same loop, replacing both hot autodiff paths of ``warp2d``.
+
+    MEASURED NEGATIVE RESULT (v5e, 512² b=1 fwd+bwd isolated): 97.2 ms vs
+    gather's 15.8 ms — the dynamic (traced-shift) rolls lower to unaligned
+    dynamic slices that cost far more than the gathers they replace, and
+    the data-dependent trip count defeats XLA's scheduler. Kept as a
+    correct, tested formulation for reference; production routing uses
+    ``warp2d_adaptive`` (static-shift fast path behind a cond), which
+    achieves the intended win. CPU grad is ~2x slower than gather too.
+    """
+    out, _ = _dense_fwd_impl(src, flow)
+    return out
+
+
+_DENSE_MAX_TERMS = 4096
+
+
+def _dense_fwd_impl(src, flow):
+    n, h, w, c = src.shape
+    ay0, ay1, ax0, ax1, wy, wx, _, _ = _corner_fields(h, w, flow)
+    dymin, dxmin, ny, nx = _ring_bounds(ay0, ay1, ax0, ax1)
+    total = ny * nx
+
+    def ring(_):
+        def body(i, acc):
+            oy = dymin + i // nx
+            ox = dxmin + jax.lax.rem(i, nx)
+            my = (1.0 - wy) * (ay0 == oy) + wy * (ay1 == oy)
+            mx = (1.0 - wx) * (ax0 == ox) + wx * (ax1 == ox)
+            s = _roll2(src, -oy, -ox).astype(jnp.float32)
+            return acc + (my * mx)[..., None] * s
+
+        acc = jax.lax.fori_loop(
+            0, total, body, jnp.zeros(src.shape, jnp.float32)
+        )
+        return acc.astype(src.dtype)
+
+    out = jax.lax.cond(
+        total <= _DENSE_MAX_TERMS,
+        ring,
+        lambda _: warp2d(src, flow).astype(src.dtype),
+        None,
+    )
+    return out, (src, flow)
+
+
+def _dense_fwd(src, flow):
+    return _dense_fwd_impl(src, flow)
+
+
+def _dense_bwd(res, g):
+    src, flow = res
+    n, h, w, c = src.shape
+    ay0, ay1, ax0, ax1, wy, wx, inb_y, inb_x = _corner_fields(h, w, flow)
+    dymin, dxmin, ny, nx = _ring_bounds(ay0, ay1, ax0, ax1)
+    total = ny * nx
+    gf = g.astype(jnp.float32)
+
+    def ring(_):
+        def body(i, carry):
+            dsrc, ty, tx_ = carry
+            oy = dymin + i // nx
+            ox = dxmin + jax.lax.rem(i, nx)
+            sy0, sy1 = (ay0 == oy).astype(jnp.float32), (ay1 == oy).astype(
+                jnp.float32
+            )
+            sx0, sx1 = (ax0 == ox).astype(jnp.float32), (ax1 == ox).astype(
+                jnp.float32
+            )
+            my = (1.0 - wy) * sy0 + wy * sy1
+            mx = (1.0 - wx) * sx0 + wx * sx1
+            # d/dsrc: transposed ring — masked cotangent rolled forward
+            dsrc = dsrc + _roll2((my * mx)[..., None] * gf, oy, ox)
+            # d/dflow: derivative masks against src[q + o]
+            sc = jnp.sum(
+                gf * _roll2(src, -oy, -ox).astype(jnp.float32), axis=-1
+            )
+            ty = ty + (sy1 - sy0) * mx * sc
+            tx_ = tx_ + my * (sx1 - sx0) * sc
+            return dsrc, ty, tx_
+
+        z = jnp.zeros((n, h, w), jnp.float32)
+        dsrc, ty, tx_ = jax.lax.fori_loop(
+            0, total, body, (jnp.zeros(src.shape, jnp.float32), z, z)
+        )
+        # clip gradient: zero where the raw coordinate left the image
+        return dsrc, ty * inb_y, tx_ * inb_x
+
+    def fallback(_):
+        # match the primal's dtype (bf16 src promotes to f32 inside warp2d;
+        # the fwd casts back, so the cotangent arrives in src.dtype)
+        _, vjp = jax.vjp(
+            lambda s, f: warp2d(s, f).astype(src.dtype), src, flow
+        )
+        ds, df = vjp(g)
+        return (
+            ds.astype(jnp.float32),
+            df[..., 0].astype(jnp.float32),
+            df[..., 1].astype(jnp.float32),
+        )
+
+    dsrc, ty, tx_ = jax.lax.cond(
+        total <= _DENSE_MAX_TERMS, ring, fallback, None
+    )
+    dflow = jnp.stack([ty, tx_], axis=-1)
+    return dsrc.astype(src.dtype), dflow.astype(flow.dtype)
+
+
+warp2d_dense.defvjp(_dense_fwd, _dense_bwd)
+
+
 def smoothing_loss(flow):
     """Mean squared forward-difference of the flow field (utils.py:165-173).
 

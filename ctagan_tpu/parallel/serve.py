@@ -52,7 +52,7 @@ def infer_series(trainer, series_dir: str, out_root: str) -> str:
             trainer.load_generator(found[0])
 
     volume, paths = load_series_fullrange(series_dir, size=cfg.size)
-    g_model = trainer.g_model
+    g_model = getattr(trainer, "g_eval", trainer.g_model)
     params = trainer._g_params()
 
     if getattr(trainer, "family", "") == "p3d":

@@ -35,7 +35,13 @@ from flax import struct
 
 from ctagan_tpu.ops import losses as L
 from ctagan_tpu.ops.augment import random_affine
-from ctagan_tpu.ops.warp import smoothing_loss, warp2d, warp2d_local
+from ctagan_tpu.ops.warp import (
+    smoothing_loss,
+    warp2d,
+    warp2d_adaptive,
+    warp2d_dense,
+    warp2d_local,
+)
 from ctagan_tpu.train.replay_buffer import ReplayBuffer, push_and_pop
 
 Params = Any
@@ -406,6 +412,16 @@ def reg_train_step(
     # warp_max_disp > 0 selects the gather-free local warp (TPU fast path;
     # exact for |flow| <= R, saturating beyond — see ops.warp.warp2d_local)
     warp_r = int(cfg.get("warp_max_disp", 0))
+    # warp_impl: 'adaptive' = exact warp with the static-shift fast path
+    # behind a data cond (ops.warp.warp2d_adaptive — replaces XLA's serial
+    # gather fwd + ~25 ms scatter-add bwd whenever max|flow| <= 4, i.e.
+    # essentially always for registration flows); 'gather' = the plain
+    # gather formulation; 'dense' = the dynamic-ring variant (measured
+    # negative result, see ops/warp.py); 'auto' (default) = adaptive on
+    # TPU, gather elsewhere. All numerically exact.
+    warp_impl = str(cfg.get("warp_impl", "auto"))
+    if warp_impl == "auto":
+        warp_impl = "adaptive" if jax.default_backend() == "tpu" else "gather"
     # reg_downsample > 1 runs the registration net at reduced resolution and
     # bilinearly upsamples the (smooth) flow, rescaling displacements —
     # the ResUNet's full-res top level dominates its cost (CLAUDE.md).
@@ -414,6 +430,10 @@ def reg_train_step(
     def _warp(x, f):
         if warp_r > 0:
             return warp2d_local(x, f, warp_r)
+        if warp_impl == "adaptive":
+            return warp2d_adaptive(x, f)
+        if warp_impl == "dense":
+            return warp2d_dense(x, f)
         return warp2d(x, f)
 
     def _predict_flow(rp, moving, fixed):

@@ -83,15 +83,19 @@ class TrainerBase:
         self._current_epoch = self.start_epoch
         self.key = jax.random.PRNGKey(config.seed)
         self.g_model = self._build_generator()
+        # inference-path generator: identical params; optionally routed
+        # through the fused conv+IN Pallas body (config fused_body — no
+        # autodiff rule, so the TRAINING model never uses it)
+        self.g_eval = self._build_eval_generator()
         self._build_models()
         self.state, self.tx = self._init_state()
         self._step = self._compile_step()
-        self._gen_fwd = jax.jit(lambda p, a: self.g_model.apply(p, a))
+        self._gen_fwd = jax.jit(lambda p, a: self.g_eval.apply(p, a))
 
         def _val_step(params, a, b):
             # G forward + both validation metrics in ONE device call —
             # per-call tunnel latency would otherwise dominate val time
-            fake = self.g_model.apply(params, a)
+            fake = self.g_eval.apply(params, a)
             fb = self._eval_slice(fake).astype(jnp.float32)
             rb = self._eval_slice(b).astype(jnp.float32)
             return masked_psnr(fb, rb), ssim(fb, rb)
@@ -103,7 +107,7 @@ class TrainerBase:
             # the synthetic slice comes back for DICOM writeback
             from ctagan_tpu.train.evaluation import _metric_suite
 
-            fake = self.g_model.apply(params, a)
+            fake = self.g_eval.apply(params, a)
             fb = self._eval_slice(fake).astype(jnp.float32)
             rb = self._eval_slice(b).astype(jnp.float32)
             return fb, _metric_suite(fb, rb, wc, ww)
@@ -122,6 +126,20 @@ class TrainerBase:
             remat=self.config.remat,
             pad_mode=self.config.pad_mode,
         )
+
+    def _build_eval_generator(self):
+        """The generator used by val/test/figures/serving. With config
+        ``fused_body`` it enables the Pallas fused conv+IN body (param tree
+        unchanged); families whose generator lacks the flag (3-D) keep the
+        training model."""
+        if not getattr(self.config, "fused_body", False):
+            return self.g_model
+        import dataclasses
+
+        try:
+            return dataclasses.replace(self.g_model, fused_body=True)
+        except TypeError:
+            return self.g_model
 
     def _build_models(self):
         raise NotImplementedError
@@ -611,6 +629,7 @@ class RegTrainer(TrainerBase):
             "FM_lamda": c.FM_lamda,
             "noise_level": c.noise_level,
             "warp_max_disp": c.warp_max_disp,
+            "warp_impl": c.warp_impl,
             "reg_downsample": c.reg_downsample,
             "ema_decay": c.ema_decay or 0.999,
         }

@@ -65,11 +65,19 @@ class Config:
     checkpoint_backend: str = "msgpack"  # 'msgpack' | 'orbax' (async saves)
     context_slices: int = 1  # 2.5-D input context (odd; 1 = reference behavior)
     warp_max_disp: int = 0  # >0: gather-free local warp with this radius (px)
+    # 'auto' (default): adaptive on TPU / gather on CPU; 'adaptive': exact
+    # warp, static-shift fast path behind a data cond; 'gather': plain
+    # gather formulation; 'dense': dynamic-ring variant (measured negative
+    # result — see ops/warp.py). All numerically exact.
+    warp_impl: str = "auto"
     reg_downsample: int = 1  # >1: registration net at reduced resolution
     reg_fuse_up: bool = False  # fold ResUNet up-path resize+concat into the
     # conv (phase decomposition; interior-exact, 1-px border approximated)
     pad_mode: str = "reflect"  # generator padding: 'reflect' (reference) or
     # 'zero' (fuses into convs, −12% fwd; for from-scratch training)
+    fused_body: bool = False  # inference paths (val/test/figures/serving)
+    # run the generator body through the fused conv+IN Pallas kernel
+    # (+8.6% fwd at 512² b=32 on v5e; single-ulp bf16 differences)
     ema_decay: float = 0.0  # >0: keep an EMA of G params, used for eval
     patch_depth: int = 8  # 3-D family (P3d): slices per depth window
     depth_downsample: int = 1  # P3d: depth reduction in the generator body
@@ -102,6 +110,10 @@ class Config:
             raise ValueError("batchSize must be >= 1")
         if self.pad_mode not in ("reflect", "zero"):
             raise ValueError("pad_mode must be 'reflect' or 'zero'")
+        if self.warp_impl not in ("auto", "adaptive", "dense", "gather"):
+            raise ValueError(
+                "warp_impl must be 'auto', 'adaptive', 'dense' or 'gather'"
+            )
         if self.depth_downsample not in (1, 2, 4):
             raise ValueError("depth_downsample must be 1, 2 or 4")
         if self.patch_depth % self.depth_downsample != 0:

@@ -1,0 +1,133 @@
+"""Parity: fused conv+IN residual body (ops/fused_resblock.py) vs the XLA
+path. CPU runs the kernels in interpret mode; on TPU the same tests compile
+through Mosaic."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctagan_tpu.models.generator import Generator
+from ctagan_tpu.models.layers import ResidualBlock
+from ctagan_tpu.ops.fused_resblock import (
+    can_fuse,
+    conv3x3_reflect_stats,
+    fused_residual_block,
+)
+
+
+def _rand(shape, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+    )
+
+
+def test_conv_stats_matches_lax_conv():
+    x = _rand((2, 16, 128, 128))
+    w = _rand((3, 3, 128, 128), 1) * 0.05
+    b = _rand((128,), 2)
+    out, stats = conv3x3_reflect_stats(x, w, b)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    ref = jax.lax.conv_general_dilated(
+        xp, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+    np.testing.assert_allclose(
+        stats[:, 0], jnp.sum(ref, axis=(1, 2)), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        stats[:, 1], jnp.sum(ref * ref, axis=(1, 2)), rtol=1e-4
+    )
+
+
+# bf16: differences are single-ulp rounding from the different conv
+# accumulation order (9 MXU matmuls vs XLA's conv) — atol covers 1 ulp at
+# the activations' magnitude
+@pytest.mark.parametrize("dtype,atol", [(jnp.float32, 1e-4), (jnp.bfloat16, 5e-2)])
+def test_block_parity(dtype, atol):
+    x = _rand((2, 8, 128, 128)).astype(dtype)
+    ref_block = ResidualBlock(128, dtype=dtype)
+    params = ref_block.init(jax.random.PRNGKey(0), x)
+    fused_block = ResidualBlock(128, dtype=dtype, fused=True)
+    # identical param trees: fused checkpoints interchange with unfused
+    assert jax.tree_util.tree_structure(
+        fused_block.init(jax.random.PRNGKey(0), x)
+    ) == jax.tree_util.tree_structure(params)
+    ref = ref_block.apply(params, x)
+    out = fused_block.apply(params, x)
+    np.testing.assert_allclose(
+        out.astype(jnp.float32), ref.astype(jnp.float32), atol=atol
+    )
+
+
+def test_generator_fused_body_parity():
+    # input 16x512 -> body 4x128x128: fusable at reduced scale
+    g_ref = Generator(1, 1, n_residual_blocks=2, base_features=32)
+    g_fused = Generator(
+        1, 1, n_residual_blocks=2, base_features=32, fused_body=True
+    )
+    x = _rand((1, 16, 512, 1))
+    params = g_ref.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(
+        g_fused.init(jax.random.PRNGKey(0), x)
+    ) == jax.tree_util.tree_structure(params)
+    np.testing.assert_allclose(
+        g_fused.apply(params, x), g_ref.apply(params, x), atol=1e-4
+    )
+
+
+def test_generator_fused_body_fallback():
+    # body 16x16x256: W%128 != 0 -> silently identical to the XLA path
+    assert not can_fuse((1, 16, 16, 256))
+    g_ref = Generator(1, 1, n_residual_blocks=1)
+    g_fused = Generator(1, 1, n_residual_blocks=1, fused_body=True)
+    x = _rand((1, 64, 64, 1))
+    params = g_ref.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_array_equal(g_fused.apply(params, x), g_ref.apply(params, x))
+
+
+def test_fused_block_odd_rows():
+    # H not divisible by 8: block_rows degrades (H=4 -> R=4)
+    x = _rand((1, 4, 128, 128))
+    w1, b1 = _rand((3, 3, 128, 128), 1) * 0.05, _rand((128,), 2)
+    w2, b2 = _rand((3, 3, 128, 128), 3) * 0.05, _rand((128,), 4)
+    out = fused_residual_block(x, w1, b1, w2, b2)
+    block = ResidualBlock(128)
+    params = {
+        "params": {
+            "ConvTorch_0": {"Conv_0": {"kernel": w1, "bias": b1}},
+            "ConvTorch_1": {"Conv_0": {"kernel": w2, "bias": b2}},
+        }
+    }
+    np.testing.assert_allclose(out, block.apply(params, x), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_trainer_fused_body_config(tmp_path):
+    # config knob routes val/test through g_eval with fused_body=True;
+    # at 64² the body can't fuse, so this also locks the silent fallback
+    from ctagan_tpu.data.fixtures import make_corpus
+    from ctagan_tpu.train import build_trainer
+    from ctagan_tpu.utils.config import load_config
+
+    lists = make_corpus(
+        str(tmp_path / "corpus"), n_patients=2, slices_per_patient=2, size=64
+    )
+    cfg = load_config(
+        {
+            "name": "P2p",
+            "size": 64,
+            "batchSize": 1,
+            "n_epochs": 1,
+            "decay_epoch": 1,
+            "save_root": str(tmp_path / "save"),
+            "image_save": str(tmp_path / "img"),
+            "train_list": lists["train"],
+            "val_list": lists["val"],
+            "test_list": lists["test"],
+            "fused_body": True,
+        }
+    )
+    tr = build_trainer(cfg)
+    assert tr.g_eval.fused_body and not tr.g_model.fused_body
+    psnr, ssim_v = tr.validate()
+    assert np.isfinite(psnr)

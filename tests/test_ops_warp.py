@@ -130,3 +130,100 @@ def test_warp2d_local_differentiable():
         lambda s, f: jnp.sum(warp2d_local(s, f, 2) ** 2), argnums=(0, 1)
     )(src, flow)
     assert np.all(np.isfinite(np.asarray(gs))) and np.all(np.isfinite(np.asarray(gf)))
+
+
+# ---------------------------------------------------------------------------
+# warp2d_dense: exact ring warp with the scatter-free custom VJP
+# ---------------------------------------------------------------------------
+
+from ctagan_tpu.ops import warp as warp_mod
+from ctagan_tpu.ops.warp import warp2d_dense
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_warp2d_dense_matches_torch_grid_sample(seed):
+    rng = np.random.default_rng(seed)
+    n, h, w, c = 2, 24, 20, 3
+    src = rng.standard_normal((n, c, h, w)).astype(np.float32)
+    flow = (rng.standard_normal((n, 2, h, w)) * 5).astype(np.float32)
+    want = _torch_warp(src, flow).numpy()
+    got = np.asarray(
+        warp2d_dense(
+            jnp.asarray(src.transpose(0, 2, 3, 1)),
+            jnp.asarray(flow.transpose(0, 2, 3, 1)),
+        )
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_warp2d_dense_vjp_matches_autodiff_of_gather_warp():
+    rng = np.random.default_rng(3)
+    n, h, w, c = 2, 16, 16, 2
+    src = jnp.asarray(rng.standard_normal((n, h, w, c)).astype(np.float32))
+    # mixture of interior and clamped (out-of-range) coordinates
+    flow = jnp.asarray((rng.standard_normal((n, h, w, 2)) * 6).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((n, h, w, c)).astype(np.float32))
+    ds_ref, df_ref = jax.vjp(warp2d, src, flow)[1](g)
+    ds, df = jax.vjp(warp2d_dense, src, flow)[1](g)
+    np.testing.assert_allclose(ds, ds_ref, atol=1e-5)
+    np.testing.assert_allclose(df, df_ref, atol=1e-5)
+
+
+def test_warp2d_dense_fallback_branch(monkeypatch):
+    # force the offset rectangle over the term budget -> gather/scatter branch
+    monkeypatch.setattr(warp_mod, "_DENSE_MAX_TERMS", 3)
+    rng = np.random.default_rng(4)
+    n, h, w, c = 1, 12, 12, 1
+    src = jnp.asarray(rng.standard_normal((n, h, w, c)).astype(np.float32))
+    flow = jnp.asarray((rng.standard_normal((n, h, w, 2)) * 3).astype(np.float32))
+    g = jnp.ones((n, h, w, c), jnp.float32)
+    np.testing.assert_allclose(
+        warp2d_dense(src, flow), warp2d(src, flow), atol=1e-6
+    )
+    ds_ref, df_ref = jax.vjp(warp2d, src, flow)[1](g)
+    ds, df = jax.vjp(warp2d_dense, src, flow)[1](g)
+    np.testing.assert_allclose(ds, ds_ref, atol=1e-6)
+    np.testing.assert_allclose(df, df_ref, atol=1e-6)
+
+
+def test_warp2d_dense_zero_flow_identity_and_jit():
+    rng = np.random.default_rng(5)
+    src = jnp.asarray(rng.standard_normal((1, 8, 8, 1)).astype(np.float32))
+    out = jax.jit(warp2d_dense)(src, jnp.zeros((1, 8, 8, 2)))
+    np.testing.assert_allclose(out, src, atol=1e-6)
+
+
+from ctagan_tpu.ops.warp import warp2d_adaptive
+
+
+@pytest.mark.parametrize("scale,desc", [(2.0, "small->shift branch"), (9.0, "large->gather branch")])
+def test_warp2d_adaptive_exact_both_branches(scale, desc):
+    rng = np.random.default_rng(6)
+    n, h, w, c = 1, 16, 16, 2
+    src = jnp.asarray(rng.standard_normal((n, h, w, c)).astype(np.float32))
+    flow = jnp.asarray((rng.standard_normal((n, h, w, 2)) * scale).astype(np.float32))
+    if scale > 4:
+        assert float(jnp.max(jnp.abs(flow))) > 4  # really exercises gather
+    np.testing.assert_allclose(
+        warp2d_adaptive(src, flow), warp2d(src, flow), atol=2e-5
+    )
+    g = jnp.asarray(rng.standard_normal((n, h, w, c)).astype(np.float32))
+    ds_ref, df_ref = jax.vjp(warp2d, src, flow)[1](g)
+    ds, df = jax.vjp(lambda s, f: warp2d_adaptive(s, f), src, flow)[1](g)
+    np.testing.assert_allclose(ds, ds_ref, atol=2e-5)
+    np.testing.assert_allclose(df, df_ref, atol=2e-5)
+
+
+def test_warp_variants_bfloat16_grads():
+    # bf16 src promotes to f32 in all formulations; grads must flow with
+    # matching dtypes through adaptive (both branches) and dense (+fallback)
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.standard_normal((1, 16, 16, 1)).astype(np.float32)).astype(jnp.bfloat16)
+    g32 = jnp.ones((1, 16, 16, 1), jnp.float32)
+    for scale in (2.0, 9.0):
+        flow = jnp.asarray((rng.standard_normal((1, 16, 16, 2)) * scale).astype(np.float32))
+        for fn in (warp2d_adaptive, warp2d_dense, warp2d):
+            out, vjp = jax.vjp(fn, src, flow)
+            ds, df = vjp(g32.astype(out.dtype))
+            assert ds.dtype == src.dtype and df.dtype == flow.dtype
+            assert np.isfinite(np.asarray(df, np.float32)).all()

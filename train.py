@@ -112,7 +112,7 @@ def main():
             + (f" [{quantize}]" if quantize else "")
         )
         serve(
-            trainer.g_model, trainer._g_params(), port=port, size=config.size,
+            trainer.g_eval, trainer._g_params(), port=port, size=config.size,
             quantize=quantize,
         )
 
