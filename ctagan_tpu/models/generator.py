@@ -46,12 +46,59 @@ class Generator(nn.Module):
     # passes. Same param tree as the XLA path (checkpoints interchange);
     # falls back per-block when shapes can't fuse. Not differentiable.
     fused_body: bool = False
+    # 7×7 head/tail via the tap decomposition (ops/tap_conv.py): these conv
+    # shapes are MXU-degenerate (K=49·input_nc head, N=output_nc tail).
+    # Exact to float ordering and differentiable (training uses it too).
+    # Measured on v5e 512² bf16: a large WIN at small batch (b=1 fwd 10.6 ->
+    # 7.0 ms; HD train step 111.2 -> 97.3 ms) but a LOSS at large batch
+    # (b=32 fwd 132 -> 167 ms — the im2col/tap-image traffic outweighs the
+    # MXU waste once the pipeline is saturated). None = auto: on for TPU at
+    # batch <= 4 (the training/latency regime), off elsewhere.
+    tap_heads: Any = None
 
     @nn.compact
     def __call__(self, x):
+        import jax
+
         f = self.base_features
         ax = self.spatial_axis
         zero = self.pad_mode == "zero"
+        taps = self.tap_heads
+        if taps is None:
+            taps = (
+                jax.default_backend() == "tpu"
+                and ax is None
+                and x.shape[0] <= 4
+            )
+        pad = "zero" if zero else "reflect"
+
+        def conv7(h, feats, name):
+            if taps:
+                from ctagan_tpu.models.layers import (
+                    _ConvTorchParams,
+                    torch_conv_bias_init,
+                    torch_conv_kernel_init,
+                )
+                from ctagan_tpu.ops.tap_conv import (
+                    conv7_head_taps,
+                    conv7_tail_taps,
+                )
+
+                cin = h.shape[-1]
+                k, b = _ConvTorchParams(
+                    (7, 7, cin, feats), torch_conv_kernel_init(),
+                    torch_conv_bias_init((7, 7), cin), name=name,
+                )()
+                if self.dtype is not None:
+                    h = h.astype(self.dtype)
+                fn = conv7_head_taps if cin <= feats else conv7_tail_taps
+                return fn(h, k, b, pad_mode=pad)
+            if zero:
+                return ConvTorch(feats, 7, padding=3, dtype=self.dtype,
+                                 name=name)(h)
+            return ConvTorch(feats, 7, dtype=self.dtype, name=name)(
+                reflect_pad(h, 3)
+            )
 
         def block_cls(feats, halo):
             cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
@@ -59,15 +106,13 @@ class Generator(nn.Module):
                        pad_mode=self.pad_mode, fused=self.fused_body)
 
         # head: c7s1-64
-        if zero:
-            h = ConvTorch(f, 7, padding=3, dtype=self.dtype)(x)
-        else:
-            h = ConvTorch(f, 7, dtype=self.dtype)(reflect_pad(x, 3))
+        h = conv7(x, f, "ConvTorch_0")
         h = instance_norm(h, spatial_axis=ax, halo=self.halo)
         h = nn.relu(h)
         # downsampling 64 -> 128 -> 256
-        for mult, div in ((2, 2), (4, 4)):
-            h = ConvTorch(f * mult, 3, stride=2, padding=1, dtype=self.dtype)(h)
+        for i, (mult, div) in enumerate(((2, 2), (4, 4))):
+            h = ConvTorch(f * mult, 3, stride=2, padding=1, dtype=self.dtype,
+                          name=f"ConvTorch_{i + 1}")(h)
             h = instance_norm(h, spatial_axis=ax, halo=self.halo // div)
             h = nn.relu(h)
         # residual body at 256 channels
@@ -79,8 +124,5 @@ class Generator(nn.Module):
             h = instance_norm(h, spatial_axis=ax, halo=self.halo // div)
             h = nn.relu(h)
         # output head
-        if zero:
-            h = ConvTorch(self.output_nc, 7, padding=3, dtype=self.dtype)(h)
-        else:
-            h = ConvTorch(self.output_nc, 7, dtype=self.dtype)(reflect_pad(h, 3))
+        h = conv7(h, self.output_nc, "ConvTorch_3")
         return nn.tanh(h)

@@ -1,0 +1,84 @@
+"""Tap-decomposed 7×7 convolutions for MXU-degenerate channel counts.
+
+The generator's head (7×7, 1→64) and tail (7×7, 64→1) convs
+(Model/CycleGan.py:26-28, 48-50) are pathological on the MXU: the
+contraction (head, K=49) or the output (tail, N=1) fills a tiny fraction of
+the 128-lane systolic array, and XLA's direct conv lowering pays the full
+padded cost — measured 18.2 ms (head) / 43.7 ms (tail) of the 512² b=32
+bf16 forward, ~10-30× off roofline.
+
+Both decompose EXACTLY (same arithmetic to float ordering) into dense
+pieces the hardware likes:
+
+- head  (small C_in): im2col by 49 static slices of the reflect-padded
+  input → ONE (H·W, 49·C_in) x (49·C_in, C_out) matmul.
+- tail  (small C_out): pointwise matmul x @ K_taps → a 49·C_out tap image,
+  reflect-pad, then 49 static shifted adds (reflect-pad commutes with the
+  pointwise matmul, so padding the tap image equals padding the input).
+
+Everything is plain XLA (slices + matmul) — differentiable, so the
+training path uses it too. The routing lives in models/generator.py
+(``tap_heads``, default on TPU).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _pad2d(x, p, mode):
+    if mode == "zero":
+        return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode=mode)
+
+
+def conv7_head_taps(x, kernel, bias, pad_mode: str = "reflect"):
+    """7×7 'same' conv for small C_in: im2col slices + one matmul.
+
+    x: (N, H, W, C_in); kernel: (7, 7, C_in, C_out); bias: (C_out,).
+    """
+    n, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    xp = _pad2d(x, 3, pad_mode)
+    taps = [
+        xp[:, dy : dy + h, dx : dx + w, :]
+        for dy in range(7)
+        for dx in range(7)
+    ]
+    s = jnp.concatenate(taps, axis=-1)  # (N, H, W, 49*C_in), tap-major
+    k = kernel.astype(s.dtype).reshape(49 * cin, cout)
+    out = jax.lax.dot_general(
+        s.reshape(n * h * w, 49 * cin), k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out = out + bias.astype(jnp.float32)
+    return out.reshape(n, h, w, cout).astype(x.dtype)
+
+
+def conv7_tail_taps(x, kernel, bias, pad_mode: str = "reflect"):
+    """7×7 'same' conv for small C_out: matmul to tap space + 49 shifted
+    adds.  Padding the tap image equals padding the input for both reflect
+    (pointwise-commuting) and zero (linear map of 0 is 0) modes.
+
+    x: (N, H, W, C_in); kernel: (7, 7, C_in, C_out); bias: (C_out,).
+    """
+    n, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    # (C_in, 49*C_out), tap-major to match the shift loop below
+    k = kernel.astype(x.dtype).transpose(2, 0, 1, 3).reshape(cin, 49 * cout)
+    y = jax.lax.dot_general(
+        x.reshape(n * h * w, cin), k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(n, h, w, 49 * cout).astype(x.dtype)
+    yp = _pad2d(y, 3, pad_mode)
+    out = jnp.zeros((n, h, w, cout), jnp.float32)
+    for dy in range(7):
+        for dx in range(7):
+            t = dy * 7 + dx
+            out = out + yp[
+                :, dy : dy + h, dx : dx + w, t * cout : (t + 1) * cout
+            ]
+    out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
