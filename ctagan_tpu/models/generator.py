@@ -49,11 +49,12 @@ class Generator(nn.Module):
     # 7×7 head/tail via the tap decomposition (ops/tap_conv.py): these conv
     # shapes are MXU-degenerate (K=49·input_nc head, N=output_nc tail).
     # Exact to float ordering and differentiable (training uses it too).
-    # Measured on v5e 512² bf16: a large WIN at small batch (b=1 fwd 10.6 ->
-    # 7.0 ms; HD train step 111.2 -> 97.3 ms) but a LOSS at large batch
-    # (b=32 fwd 132 -> 167 ms — the im2col/tap-image traffic outweighs the
-    # MXU waste once the pipeline is saturated). None = auto: on for TPU at
-    # batch <= 4 (the training/latency regime), off elsewhere.
+    # Measured on v5e 512² bf16 (uncontended): a large WIN at small batch
+    # (b=1 fwd 10.6 -> 7.0 ms; b=8 172.5 -> 194.5 sl/s; HD train step
+    # 111.2 -> 97.3 ms) but a LOSS once saturated (b=16 233 -> 192 sl/s,
+    # b=32 242 -> 192 — the tap path plateaus at ~192 sl/s while direct
+    # conv keeps scaling). None = auto: on for TPU at batch <= 8, off
+    # elsewhere.
     tap_heads: Any = None
 
     @nn.compact
@@ -68,7 +69,7 @@ class Generator(nn.Module):
             taps = (
                 jax.default_backend() == "tpu"
                 and ax is None
-                and x.shape[0] <= 4
+                and x.shape[0] <= 8
             )
         pad = "zero" if zero else "reflect"
 
