@@ -117,8 +117,31 @@ class Generator(nn.Module):
             h = instance_norm(h, spatial_axis=ax, halo=self.halo // div)
             h = nn.relu(h)
         # residual body at 256 channels
-        for _ in range(self.n_residual_blocks):
-            h = block_cls(f * 4, self.halo // 4)(h)
+        from ctagan_tpu.models.layers import _ResBlockParams
+        from ctagan_tpu.ops.fused_resblock import can_fuse
+
+        if (
+            self.fused_body
+            and not zero
+            and ax is None
+            and can_fuse(h.shape)
+            and (f * 4) % 128 == 0
+        ):
+            # whole-body fused chain: each block's skip-add epilogue is
+            # folded into the next block's first conv kernel
+            from ctagan_tpu.ops.fused_resblock import fused_residual_chain
+
+            params = [
+                _ResBlockParams(f * 4, h.shape[-1] if i == 0 else f * 4,
+                                name=f"ResidualBlock_{i}")()
+                for i in range(self.n_residual_blocks)
+            ]
+            if self.dtype is not None:
+                h = h.astype(self.dtype)
+            h = fused_residual_chain(h, params)
+        else:
+            for _ in range(self.n_residual_blocks):
+                h = block_cls(f * 4, self.halo // 4)(h)
         # upsampling 256 -> 128 -> 64
         for mult, div in ((2, 2), (1, 1)):
             h = ConvTransposeTorch(f * mult, dtype=self.dtype)(h)

@@ -292,6 +292,28 @@ class ResidualBlock(nn.Module):
         return x + h
 
 
+class _ResBlockParams(nn.Module):
+    """Declares a ResidualBlock's two conv param sets under the exact names
+    a real ``ResidualBlock`` would create — the fused body chain
+    (ops/fused_resblock.py) consumes the tuple while checkpoints stay
+    interchangeable with the unfused module tree."""
+
+    features: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        k1, b1 = _ConvTorchParams(
+            (3, 3, self.cin, self.features), torch_conv_kernel_init(),
+            torch_conv_bias_init((3, 3), self.cin), name="ConvTorch_0",
+        )()
+        k2, b2 = _ConvTorchParams(
+            (3, 3, self.features, self.features), torch_conv_kernel_init(),
+            torch_conv_bias_init((3, 3), self.features), name="ConvTorch_1",
+        )()
+        return k1, b1, k2, b2
+
+
 class RegConv(nn.Module):
     """trainer/layers.py:71-104 ``Conv``: conv -> (no norm) -> activation ->
     optional single ResnetBlock; kaiming init, zero bias."""

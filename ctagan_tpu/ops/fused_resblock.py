@@ -77,30 +77,40 @@ def _issue_or_wait(x_ref, xbuf, sems, lin, slot, *, R, T, H, start: bool):
         c.start() if start else c.wait()
 
 
-def _kernel(*refs, R, T, H, W, prenorm, relu, out_dtype):
-    if prenorm:
-        x_ref, w_ref, b_ref, norm_ref, o_ref, stats_ref, xbuf, sems = refs
-    else:
-        x_ref, w_ref, b_ref, o_ref, stats_ref, xbuf, sems = refs
-        norm_ref = None
+def _kernel(*refs, R, T, H, W, prenorm, relu, skip, out_dtype):
+    it = iter(refs)
+    x_ref = next(it)
+    skip_ref = next(it) if skip else None
+    w_ref, b_ref = next(it), next(it)
+    norm_ref = next(it) if prenorm else None
+    o_ref, stats_ref = next(it), next(it)
+    xnew_ref = next(it) if skip else None
+    xbuf = next(it)
+    skipbuf = next(it) if skip else None
+    sems = next(it)
+    skipsems = next(it) if skip else None
     n = pl.program_id(0)
     t = pl.program_id(1)
     lin = n * T + t
     total = pl.num_programs(0) * T
     slot = jax.lax.rem(lin, 2)
 
+    def dma(lin_, slot_, start):
+        _issue_or_wait(x_ref, xbuf, sems, lin_, slot_, R=R, T=T, H=H,
+                       start=start)
+        if skip:
+            _issue_or_wait(skip_ref, skipbuf, skipsems, lin_, slot_,
+                           R=R, T=T, H=H, start=start)
+
     @pl.when(lin == 0)
     def _():
-        _issue_or_wait(x_ref, xbuf, sems, 0, 0, R=R, T=T, H=H, start=True)
+        dma(0, 0, True)
 
     @pl.when(lin + 1 < total)
     def _():
-        _issue_or_wait(
-            x_ref, xbuf, sems, lin + 1, jax.lax.rem(lin + 1, 2),
-            R=R, T=T, H=H, start=True,
-        )
+        dma(lin + 1, jax.lax.rem(lin + 1, 2), True)
 
-    _issue_or_wait(x_ref, xbuf, sems, lin, slot, R=R, T=T, H=H, start=False)
+    dma(lin, slot, False)
 
     xs = xbuf[slot]  # (R+4, W, C): dummy, top halo, R body rows, bottom halo
     if prenorm:
@@ -110,6 +120,12 @@ def _kernel(*refs, R, T, H, W, prenorm, relu, out_dtype):
         if relu:
             xn = jnp.maximum(xn, 0.0)
         xs = xn.astype(xbuf.dtype)
+        if skip:
+            # residual epilogue of the PREVIOUS block fused in: the conv
+            # input IS the next block's input x_new = skip + norm(h2) —
+            # same rounding order as the unfused epilogue (cast, then add)
+            xs = skipbuf[slot] + xs
+            xnew_ref[0] = xs[2 : R + 2]
     # column reflect: col -1 -> 1, col W -> W-2; the three kw taps are
     # stacked along channels so each kh is ONE (R·W, 3C)x(3C, Cout) matmul.
     # A/B'd against a copy-free tap-slice variant (every (kh, kw) tap as a
@@ -151,16 +167,19 @@ BLOCK_ROWS = 8
 
 
 def conv3x3_reflect_stats(
-    x, w, b, norm=None, relu: bool = False, block_rows=None,
+    x, w, b, norm=None, relu: bool = False, skip=None, block_rows=None,
     interpret=None,
 ):
     """Reflect-padded 3×3 conv + per-(sample, channel) output statistics.
 
     x: (N, H, W, C); w: (3, 3, C, Cout); b: (Cout,).  ``norm``: optional
     (N, 2, C) f32 [mean, rstd] applied (with optional ReLU) to the input as
-    it streams through VMEM.  Returns (raw conv output (N, H, W, Cout) in
-    x.dtype, stats (N, 2, Cout) f32 [sum, sum²]).  Requires W % 128 == 0,
-    H % block_rows == 0, H >= 2 and C/Cout % 128 == 0 (lane alignment).
+    it streams through VMEM.  ``skip``: optional (N, H, W, C) residual
+    stream (requires ``norm``): the kernel computes x_new = skip + norm(x)
+    per row slab — the previous block's epilogue — convolves x_new, and
+    returns it as a third output.  Returns (raw conv output (N, H, W, Cout)
+    in x.dtype, stats (N, 2, Cout) f32 [sum, sum²][, x_new]).  Requires
+    W % 128 == 0, H % block_rows == 0, H >= 2 and C/Cout % 128 == 0.
     """
     if interpret is None:  # compiled Mosaic path needs a real TPU backend
         interpret = jax.default_backend() != "tpu"
@@ -170,6 +189,7 @@ def conv3x3_reflect_stats(
     cout = w.shape[-1]
     assert wdim % 128 == 0 and h >= 2, (h, wdim)
     assert c % 128 == 0 and cout % 128 == 0, (c, cout)
+    assert skip is None or norm is not None, "skip requires norm"
     R = block_rows
     while h % R:
         R //= 2
@@ -177,10 +197,14 @@ def conv3x3_reflect_stats(
     dt = x.dtype
     kernel = functools.partial(
         _kernel, R=R, T=T, H=h, W=wdim, prenorm=norm is not None,
-        relu=relu, out_dtype=dt,
+        relu=relu, skip=skip is not None, out_dtype=dt,
     )
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM, DMA'd in
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # x in HBM, DMA'd in
+    args = [x]
+    if skip is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        args.append(skip.astype(dt))
+    in_specs += [
         pl.BlockSpec((3, 3 * c, cout), lambda ni, ti: (0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cout), lambda ni, ti: (0, 0),
@@ -188,34 +212,44 @@ def conv3x3_reflect_stats(
     ]
     # (3, 3, C, Cout) -> (3, 3C, Cout): rows of each kh slab are ordered
     # (kw, c) — exactly the kernel's [left | center | right] channel stacking
-    args = [x, w.astype(dt).reshape(3, 3 * c, cout), b.reshape(1, cout)]
+    args += [w.astype(dt).reshape(3, 3 * c, cout), b.reshape(1, cout)]
     if norm is not None:
         in_specs.append(
             pl.BlockSpec((1, 2, c), lambda ni, ti: (ni, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         args.append(norm.astype(jnp.float32))
-    out, stats = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, R, wdim, cout), lambda ni, ti: (ni, ti, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, cout), lambda ni, ti: (ni, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, h, wdim, cout), dt),
+        jax.ShapeDtypeStruct((n, 2, cout), jnp.float32),
+    ]
+    scratch = [pltpu.VMEM((2, R + 4, wdim, c), dt)]
+    if skip is not None:
+        out_specs.append(
+            pl.BlockSpec((1, R, wdim, c), lambda ni, ti: (ni, ti, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((n, h, wdim, c), dt))
+        scratch.append(pltpu.VMEM((2, R + 4, wdim, c), dt))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 3)))
+    if skip is not None:
+        scratch.append(pltpu.SemaphoreType.DMA((2, 3)))
+    res = pl.pallas_call(
         kernel,
         grid=(n, T),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, R, wdim, cout), lambda ni, ti: (ni, ti, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, cout), lambda ni, ti: (ni, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, h, wdim, cout), dt),
-            jax.ShapeDtypeStruct((n, 2, cout), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, R + 4, wdim, c), dt),
-            pltpu.SemaphoreType.DMA((2, 3)),
-        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
-    return out, stats
+    return res
 
 
 def _stats_to_norm(stats, count: float, eps: float):
@@ -237,6 +271,38 @@ def fused_residual_block(x, k1, b1, k2, b2, eps: float = 1e-5,
     h2, s2 = conv3x3_reflect_stats(
         h1, k2, b2, norm=n1, relu=True, interpret=interpret
     )
+    n2 = _stats_to_norm(s2, hw, eps)
+    mean = n2[:, 0][:, None, None, :]
+    rstd = n2[:, 1][:, None, None, :]
+    return x + ((h2.astype(jnp.float32) - mean) * rstd).astype(x.dtype)
+
+
+def fused_residual_chain(x, block_params, eps: float = 1e-5,
+                         interpret=None):
+    """The generator's whole residual body as a fused-kernel chain.
+
+    ``block_params``: list of (k1, b1, k2, b2) per block.  Block i's
+    skip-add epilogue x_{i+1} = x_i + norm(h2_i) is folded into block
+    i+1's first conv kernel (the ``skip`` stream), which emits x_{i+1} as
+    a by-product — so between kernels NOTHING runs in XLA except the tiny
+    (N,2,C) stats→(mean,rstd) conversions, and x_{i+1} is never re-read.
+    Only the last block's epilogue is an XLA elementwise pass.
+    """
+    n, h, wdim, c = x.shape
+    hw = float(h * wdim)
+    h2 = s2 = None
+    for i, (k1, b1, k2, b2) in enumerate(block_params):
+        if i == 0:
+            h1, s1 = conv3x3_reflect_stats(x, k1, b1, interpret=interpret)
+        else:
+            n2 = _stats_to_norm(s2, hw, eps)
+            h1, s1, x = conv3x3_reflect_stats(
+                h2, k1, b1, norm=n2, skip=x, interpret=interpret
+            )
+        n1 = _stats_to_norm(s1, hw, eps)
+        h2, s2 = conv3x3_reflect_stats(
+            h1, k2, b2, norm=n1, relu=True, interpret=interpret
+        )
     n2 = _stats_to_norm(s2, hw, eps)
     mean = n2[:, 0][:, None, None, :]
     rstd = n2[:, 1][:, None, None, :]

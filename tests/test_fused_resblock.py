@@ -131,3 +131,41 @@ def test_trainer_fused_body_config(tmp_path):
     assert tr.g_eval.fused_body and not tr.g_model.fused_body
     psnr, ssim_v = tr.validate()
     assert np.isfinite(psnr)
+
+
+def test_conv_stats_skip_stream():
+    # skip variant: x_new = skip + norm(x) computed in-kernel, convolved,
+    # and returned — must match doing the epilogue in XLA first
+    x = _rand((2, 8, 128, 128), 10)
+    skip = _rand((2, 8, 128, 128), 11)
+    w = _rand((3, 3, 128, 128), 12) * 0.05
+    b = _rand((128,), 13)
+    mean = jnp.mean(x, axis=(1, 2))
+    rstd = 1.0 / (jnp.std(x, axis=(1, 2)) + 1e-3)
+    norm = jnp.stack([mean, rstd], axis=1)
+    out, stats, x_new = conv3x3_reflect_stats(x, w, b, norm=norm, skip=skip)
+    x_new_ref = skip + (
+        (x - mean[:, None, None, :]) * rstd[:, None, None, :]
+    ).astype(x.dtype)
+    np.testing.assert_allclose(x_new, x_new_ref, atol=1e-5)
+    out_ref, _ = conv3x3_reflect_stats(x_new_ref, w, b)
+    np.testing.assert_allclose(out, out_ref, atol=2e-5)
+
+
+def test_fused_chain_matches_blockwise():
+    from ctagan_tpu.ops.fused_resblock import fused_residual_chain
+
+    x = _rand((1, 8, 128, 128), 20)
+    params = []
+    for i in range(3):
+        params.append((
+            _rand((3, 3, 128, 128), 21 + 3 * i) * 0.05,
+            _rand((128,), 22 + 3 * i) * 0.1,
+            _rand((3, 3, 128, 128), 23 + 3 * i) * 0.05,
+            _rand((128,), 24 + 3 * i) * 0.1,
+        ))
+    got = fused_residual_chain(x, params)
+    want = x
+    for k1, b1, k2, b2 in params:
+        want = fused_residual_block(want, k1, b1, k2, b2)
+    np.testing.assert_allclose(got, want, atol=2e-5)
