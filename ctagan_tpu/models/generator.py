@@ -49,12 +49,12 @@ class Generator(nn.Module):
     # 7×7 head/tail via the tap decomposition (ops/tap_conv.py): these conv
     # shapes are MXU-degenerate (K=49·input_nc head, N=output_nc tail).
     # Exact to float ordering and differentiable (training uses it too).
-    # Measured on v5e 512² bf16 (uncontended): a large WIN at small batch
-    # (b=1 fwd 10.6 -> 7.0 ms; b=8 172.5 -> 194.5 sl/s; HD train step
-    # 111.2 -> 97.3 ms) but a LOSS once saturated (b=16 233 -> 192 sl/s,
-    # b=32 242 -> 192 — the tap path plateaus at ~192 sl/s while direct
-    # conv keeps scaling). None = auto: on for TPU at batch <= 8, off
-    # elsewhere.
+    # Measured on v5e 512² bf16 (uncontended): the TAIL tap (N=1 direct
+    # conv is degenerate at any batch) wins everywhere — in-graph b=32
+    # 123.6 -> 115.1 ms; isolated 43.9 -> 28.6 ms. The HEAD tap wins only
+    # at small batch (b=1 fwd 10.6 -> 7.0 ms; b=8 +13%; b>=16 it plateaus
+    # ~192 sl/s and loses badly at b=32, 157.6 vs 115.1 in-graph). None =
+    # auto: on TPU, tail always + head at batch <= 8; off elsewhere.
     tap_heads: Any = None
 
     @nn.compact
@@ -64,16 +64,14 @@ class Generator(nn.Module):
         f = self.base_features
         ax = self.spatial_axis
         zero = self.pad_mode == "zero"
-        taps = self.tap_heads
-        if taps is None:
-            taps = (
-                jax.default_backend() == "tpu"
-                and ax is None
-                and x.shape[0] <= 8
-            )
+        on_tpu = jax.default_backend() == "tpu" and ax is None
         pad = "zero" if zero else "reflect"
 
         def conv7(h, feats, name):
+            taps = self.tap_heads
+            if taps is None:  # per-position auto (see tap_heads comment)
+                is_tail = h.shape[-1] > feats
+                taps = on_tpu and (is_tail or x.shape[0] <= 8)
             if taps:
                 from ctagan_tpu.models.layers import (
                     _ConvTorchParams,
