@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from ctagan_tpu.models.layers import (
@@ -141,10 +142,55 @@ class Generator(nn.Module):
             for _ in range(self.n_residual_blocks):
                 h = block_cls(f * 4, self.halo // 4)(h)
         # upsampling 256 -> 128 -> 64
-        for mult, div in ((2, 2), (1, 1)):
-            h = ConvTransposeTorch(f * mult, dtype=self.dtype)(h)
-            h = instance_norm(h, spatial_axis=ax, halo=self.halo // div)
-            h = nn.relu(h)
+        # measured (v5e 512² bf16): wins the latency regime (b=1 full-fused
+        # fwd 7.0 -> 5.32 ms) but loses saturated (b=32 115.1 -> 127.4 ms —
+        # the phase-deblock materializations + Co=64 lanes in U2 outweigh
+        # the saved IN passes once the pipeline is full) -> batch <= 8 gate
+        fuse_up = (
+            self.fused_body
+            and not zero
+            and ax is None
+            and x.shape[0] <= 8
+            and h.shape[2] % 128 == 0
+            and h.shape[-1] % 128 == 0
+            and (f * 2) % 128 == 0
+        )
+        if fuse_up:
+            # both transposed convs + the InstanceNorms between them run in
+            # the fused phase kernels (ops/fused_convt.py); the final
+            # norm+relu stays in XLA where it fuses into the tail
+            from ctagan_tpu.models.layers import _ConvTransposeParams
+            from ctagan_tpu.ops.fused_convt import (
+                convt2x_stats,
+                phase_deblock,
+            )
+            from ctagan_tpu.ops.fused_resblock import _stats_to_norm
+
+            hw = float(h.shape[1] * h.shape[2])
+            k0, b0 = _ConvTransposeParams(
+                f * 2, h.shape[-1], name="ConvTransposeTorch_0"
+            )()
+            k1, b1 = _ConvTransposeParams(
+                f, f * 2, name="ConvTransposeTorch_1"
+            )()
+            if self.dtype is not None:
+                h = h.astype(self.dtype)
+            h, s1 = convt2x_stats(h, k0, b0)
+            n1 = _stats_to_norm(s1, hw * 4.0, 1e-5)
+            h, s2 = convt2x_stats(
+                phase_deblock(h, f * 2), k1, b1, norm=n1, relu=True
+            )
+            n2 = _stats_to_norm(s2, hw * 16.0, 1e-5)
+            hf = phase_deblock(h, f).astype(jnp.float32)
+            h = nn.relu(
+                (hf - n2[:, 0][:, None, None, :])
+                * n2[:, 1][:, None, None, :]
+            ).astype(h.dtype)
+        else:
+            for mult, div in ((2, 2), (1, 1)):
+                h = ConvTransposeTorch(f * mult, dtype=self.dtype)(h)
+                h = instance_norm(h, spatial_axis=ax, halo=self.halo // div)
+                h = nn.relu(h)
         # output head
         h = conv7(h, self.output_nc, "ConvTorch_3")
         return nn.tanh(h)

@@ -314,6 +314,43 @@ class _ResBlockParams(nn.Module):
         return k1, b1, k2, b2
 
 
+class _CTInnerParams(nn.Module):
+    features: int
+    cin: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        fan_in = self.features * k * k
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            bound = 1.0 / jnp.sqrt(fan_in)
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        kp = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (k, k, self.features, self.cin),
+        )
+        b = self.param("bias", bias_init, (self.features,))
+        return kp, b
+
+
+class _ConvTransposeParams(nn.Module):
+    """Declares a ``ConvTransposeTorch``'s params under its exact names for
+    the fused up-path (ops/fused_convt.py); checkpoints interchange."""
+
+    features: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        return _CTInnerParams(
+            self.features, self.cin, name="ConvTranspose_0"
+        )()
+
+
 class RegConv(nn.Module):
     """trainer/layers.py:71-104 ``Conv``: conv -> (no norm) -> activation ->
     optional single ResnetBlock; kaiming init, zero bias."""

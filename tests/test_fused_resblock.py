@@ -169,3 +169,27 @@ def test_fused_chain_matches_blockwise():
     for k1, b1, k2, b2 in params:
         want = fused_residual_block(want, k1, b1, k2, b2)
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_generator_fused_up_path_parity():
+    # base_features=64 -> up path channels 128/64: the fused convT kernels
+    # engage (body 4x128x256, up1 8x256x128, up2 16x512x64)
+    import jax.numpy as jnp  # noqa
+
+    g_ref = Generator(1, 1, n_residual_blocks=1, base_features=64,
+                      tap_heads=False)
+    g_fused = Generator(1, 1, n_residual_blocks=1, base_features=64,
+                        fused_body=True, tap_heads=False)
+    x = _rand((1, 16, 512, 1))
+    params = g_ref.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(
+        g_fused.init(jax.random.PRNGKey(0), x)
+    ) == jax.tree_util.tree_structure(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_fused.init(jax.random.PRNGKey(0), x)),
+        jax.tree_util.tree_leaves(params),
+    ):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(
+        g_fused.apply(params, x), g_ref.apply(params, x), atol=2e-4
+    )
