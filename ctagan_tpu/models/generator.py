@@ -143,14 +143,15 @@ class Generator(nn.Module):
                 h = block_cls(f * 4, self.halo // 4)(h)
         # upsampling 256 -> 128 -> 64
         # measured (v5e 512² bf16): wins the latency regime (b=1 full-fused
-        # fwd 7.0 -> 5.32 ms) but loses saturated (b=32 115.1 -> 127.4 ms —
-        # the phase-deblock materializations + Co=64 lanes in U2 outweigh
-        # the saved IN passes once the pipeline is full) -> batch <= 8 gate
+        # fwd 7.0 -> 5.32 ms) but loses from b=8 up (180.6 vs 194.5 sl/s;
+        # b=32 115.1 -> 127.4 ms — the phase-deblock materializations +
+        # Co=64 lanes in U2 outweigh the saved IN passes once the pipeline
+        # fills) -> batch <= 2 gate
         fuse_up = (
             self.fused_body
             and not zero
             and ax is None
-            and x.shape[0] <= 8
+            and x.shape[0] <= 2
             and h.shape[2] % 128 == 0
             and h.shape[-1] % 128 == 0
             and (f * 2) % 128 == 0
