@@ -16,8 +16,11 @@ instead of serializing 1-slice launches. Dispatch is **pipelined**: up to
 host↔device round-trip latency (≈29 ms on the tunnel-attached TPU here) is
 hidden under load instead of serializing every batch — measured +62% service
 throughput at depth 2 and +78% at depth 4 vs depth 1 (512², max_batch 8,
-saturated). Everything is stdlib (http.server, queue, threading); the model
-and its compiled executable are process-wide.
+saturated). Default ``max_batch`` is 16: the r1c generator throughput
+curve reaches 269.7 slices/s at b=16 vs 194.5 at b=8 with the batch-gated
+tap/fused paths (docs/evidence/bench_final1_r1c.log). Everything is stdlib
+(http.server, queue, threading); the model and its compiled executable are
+process-wide.
 """
 from __future__ import annotations
 
@@ -54,7 +57,7 @@ class SynthesisService:
         g_model,
         params,
         size: int = 512,
-        max_batch: int = 8,
+        max_batch: int = 16,
         batch_timeout_ms: float = 5.0,
         pipeline_depth: int = 2,
         quantize: str = "",
@@ -231,7 +234,7 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 8080,
     size: int = 512,
-    max_batch: int = 8,
+    max_batch: int = 16,
     pipeline_depth: int = 2,
     quantize: str = "",
 ):
@@ -251,7 +254,7 @@ def serve_async(
     host: str = "127.0.0.1",
     port: int = 0,
     size: int = 512,
-    max_batch: int = 8,
+    max_batch: int = 16,
     pipeline_depth: int = 2,
 ):
     """Start in a background thread; returns (server, service, port)."""
