@@ -107,27 +107,74 @@ class Generator(nn.Module):
 
         # head: c7s1-64
         h = conv7(x, f, "ConvTorch_0")
-        h = instance_norm(h, spatial_axis=ax, halo=self.halo)
-        h = nn.relu(h)
-        # downsampling 64 -> 128 -> 256
-        for i, (mult, div) in enumerate(((2, 2), (4, 4))):
-            h = ConvTorch(f * mult, 3, stride=2, padding=1, dtype=self.dtype,
-                          name=f"ConvTorch_{i + 1}")(h)
-            h = instance_norm(h, spatial_axis=ax, halo=self.halo // div)
-            h = nn.relu(h)
-        # residual body at 256 channels
-        from ctagan_tpu.models.layers import _ResBlockParams
-        from ctagan_tpu.ops.fused_resblock import can_fuse
+        from ctagan_tpu.models.layers import (
+            _ConvTorchParams,
+            _ResBlockParams,
+            torch_conv_bias_init,
+            torch_conv_kernel_init,
+        )
+        from ctagan_tpu.ops.fused_resblock import _stats_to_norm, can_fuse
 
-        if (
+        body_shape = (h.shape[0], h.shape[1] // 4, h.shape[2] // 4, f * 4)
+        chain_ok = (
             self.fused_body
             and not zero
             and ax is None
-            and can_fuse(h.shape)
+            and can_fuse(body_shape)
             and (f * 4) % 128 == 0
-        ):
+        )
+        # fused down path: the head's IN folds into down1 (head stats via
+        # one XLA reduction over the RAW head output — no normalize pass
+        # materializes), both stride-2 convs run in the packed Pallas
+        # kernel, and down2's IN folds into the body chain's first kernel.
+        # Measured (v5e 512² bf16): b=1 5.32 -> 4.97 ms, b=8 194.5 ->
+        # 200.6 sl/s, b=32 115.0 -> 126.6 ms (loses saturated, as with the
+        # other latency-regime kernels) -> batch <= 8 gate
+        fuse_down = (
+            chain_ok
+            and x.shape[0] <= 8
+            and (h.shape[2] // 2) % 128 == 0
+            and (2 * f) % 128 == 0
+        )
+        in_norm = None
+        if fuse_down:
+            from ctagan_tpu.ops.fused_down import conv3x3_s2_zero_stats
+
+            if self.dtype is not None:
+                h = h.astype(self.dtype)
+            hf = h.astype(jnp.float32)
+            s0 = jnp.stack(
+                [jnp.sum(hf, axis=(1, 2)), jnp.sum(hf * hf, axis=(1, 2))],
+                axis=1,
+            )
+            norm = _stats_to_norm(s0, float(h.shape[1] * h.shape[2]), 1e-5)
+            for i, mult in enumerate((2, 4)):
+                kd, bd = _ConvTorchParams(
+                    (3, 3, h.shape[-1], f * mult), torch_conv_kernel_init(),
+                    torch_conv_bias_init((3, 3), h.shape[-1]),
+                    name=f"ConvTorch_{i + 1}",
+                )()
+                h, sd = conv3x3_s2_zero_stats(h, kd, bd, norm=norm,
+                                              relu=True)
+                norm = _stats_to_norm(
+                    sd, float(h.shape[1] * h.shape[2]), 1e-5
+                )
+            in_norm = norm
+        else:
+            h = instance_norm(h, spatial_axis=ax, halo=self.halo)
+            h = nn.relu(h)
+            # downsampling 64 -> 128 -> 256
+            for i, (mult, div) in enumerate(((2, 2), (4, 4))):
+                h = ConvTorch(f * mult, 3, stride=2, padding=1,
+                              dtype=self.dtype,
+                              name=f"ConvTorch_{i + 1}")(h)
+                h = instance_norm(h, spatial_axis=ax, halo=self.halo // div)
+                h = nn.relu(h)
+        # residual body at 256 channels
+        if chain_ok:
             # whole-body fused chain: each block's skip-add epilogue is
-            # folded into the next block's first conv kernel
+            # folded into the next block's first conv kernel; with the
+            # fused down path, down2's norm+relu folds into block 0
             from ctagan_tpu.ops.fused_resblock import fused_residual_chain
 
             params = [
@@ -137,7 +184,8 @@ class Generator(nn.Module):
             ]
             if self.dtype is not None:
                 h = h.astype(self.dtype)
-            h = fused_residual_chain(h, params)
+            h = fused_residual_chain(h, params, in_norm=in_norm,
+                                     in_relu=in_norm is not None)
         else:
             for _ in range(self.n_residual_blocks):
                 h = block_cls(f * 4, self.halo // 4)(h)

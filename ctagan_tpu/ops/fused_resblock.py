@@ -77,14 +77,14 @@ def _issue_or_wait(x_ref, xbuf, sems, lin, slot, *, R, T, H, start: bool):
         c.start() if start else c.wait()
 
 
-def _kernel(*refs, R, T, H, W, prenorm, relu, skip, out_dtype):
+def _kernel(*refs, R, T, H, W, prenorm, relu, skip, emit, out_dtype):
     it = iter(refs)
     x_ref = next(it)
     skip_ref = next(it) if skip else None
     w_ref, b_ref = next(it), next(it)
     norm_ref = next(it) if prenorm else None
     o_ref, stats_ref = next(it), next(it)
-    xnew_ref = next(it) if skip else None
+    xnew_ref = next(it) if (skip or emit) else None
     xbuf = next(it)
     skipbuf = next(it) if skip else None
     sems = next(it)
@@ -125,6 +125,9 @@ def _kernel(*refs, R, T, H, W, prenorm, relu, skip, out_dtype):
             # input IS the next block's input x_new = skip + norm(h2) —
             # same rounding order as the unfused epilogue (cast, then add)
             xs = skipbuf[slot] + xs
+        if skip or emit:
+            # emit the materialized conv input (the block input x_i): the
+            # skip stream of the NEXT block's epilogue
             xnew_ref[0] = xs[2 : R + 2]
     # column reflect: col -1 -> 1, col W -> W-2; the three kw taps are
     # stacked along channels so each kh is ONE (R·W, 3C)x(3C, Cout) matmul.
@@ -167,8 +170,8 @@ BLOCK_ROWS = 8
 
 
 def conv3x3_reflect_stats(
-    x, w, b, norm=None, relu: bool = False, skip=None, block_rows=None,
-    interpret=None,
+    x, w, b, norm=None, relu: bool = False, skip=None,
+    emit_input: bool = False, block_rows=None, interpret=None,
 ):
     """Reflect-padded 3×3 conv + per-(sample, channel) output statistics.
 
@@ -177,7 +180,10 @@ def conv3x3_reflect_stats(
     it streams through VMEM.  ``skip``: optional (N, H, W, C) residual
     stream (requires ``norm``): the kernel computes x_new = skip + norm(x)
     per row slab — the previous block's epilogue — convolves x_new, and
-    returns it as a third output.  Returns (raw conv output (N, H, W, Cout)
+    returns it as a third output.  ``emit_input`` (requires ``norm``, no
+    skip): return the normalized(+activated) conv input as the third
+    output instead (materializes the block input when the chain starts
+    from a raw upstream tensor).  Returns (raw conv output (N, H, W, Cout)
     in x.dtype, stats (N, 2, Cout) f32 [sum, sum²][, x_new]).  Requires
     W % 128 == 0, H % block_rows == 0, H >= 2 and C/Cout % 128 == 0.
     """
@@ -190,6 +196,7 @@ def conv3x3_reflect_stats(
     assert wdim % 128 == 0 and h >= 2, (h, wdim)
     assert c % 128 == 0 and cout % 128 == 0, (c, cout)
     assert skip is None or norm is not None, "skip requires norm"
+    assert not emit_input or (norm is not None and skip is None)
     R = block_rows
     while h % R:
         R //= 2
@@ -197,7 +204,7 @@ def conv3x3_reflect_stats(
     dt = x.dtype
     kernel = functools.partial(
         _kernel, R=R, T=T, H=h, W=wdim, prenorm=norm is not None,
-        relu=relu, skip=skip is not None, out_dtype=dt,
+        relu=relu, skip=skip is not None, emit=emit_input, out_dtype=dt,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # x in HBM, DMA'd in
     args = [x]
@@ -230,12 +237,13 @@ def conv3x3_reflect_stats(
         jax.ShapeDtypeStruct((n, 2, cout), jnp.float32),
     ]
     scratch = [pltpu.VMEM((2, R + 4, wdim, c), dt)]
-    if skip is not None:
+    if skip is not None or emit_input:
         out_specs.append(
             pl.BlockSpec((1, R, wdim, c), lambda ni, ti: (ni, ti, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(jax.ShapeDtypeStruct((n, h, wdim, c), dt))
+    if skip is not None:
         scratch.append(pltpu.VMEM((2, R + 4, wdim, c), dt))
     scratch.append(pltpu.SemaphoreType.DMA((2, 3)))
     if skip is not None:
@@ -278,6 +286,7 @@ def fused_residual_block(x, k1, b1, k2, b2, eps: float = 1e-5,
 
 
 def fused_residual_chain(x, block_params, eps: float = 1e-5,
+                         in_norm=None, in_relu: bool = False,
                          interpret=None):
     """The generator's whole residual body as a fused-kernel chain.
 
@@ -287,13 +296,26 @@ def fused_residual_chain(x, block_params, eps: float = 1e-5,
     a by-product — so between kernels NOTHING runs in XLA except the tiny
     (N,2,C) stats→(mean,rstd) conversions, and x_{i+1} is never re-read.
     Only the last block's epilogue is an XLA elementwise pass.
+
+    ``in_norm``/``in_relu``: when the upstream stage hands over its RAW
+    output + stats (e.g. the fused down path), the chain folds that final
+    norm+activation into block 0's first kernel, which emits the
+    materialized block input x_0 (the first skip) as a by-product.
     """
     n, h, wdim, c = x.shape
     hw = float(h * wdim)
     h2 = s2 = None
     for i, (k1, b1, k2, b2) in enumerate(block_params):
         if i == 0:
-            h1, s1 = conv3x3_reflect_stats(x, k1, b1, interpret=interpret)
+            if in_norm is not None:
+                h1, s1, x = conv3x3_reflect_stats(
+                    x, k1, b1, norm=in_norm, relu=in_relu,
+                    emit_input=True, interpret=interpret,
+                )
+            else:
+                h1, s1 = conv3x3_reflect_stats(
+                    x, k1, b1, interpret=interpret
+                )
         else:
             n2 = _stats_to_norm(s2, hw, eps)
             h1, s1, x = conv3x3_reflect_stats(
