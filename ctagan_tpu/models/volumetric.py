@@ -89,6 +89,11 @@ class Generator3D(nn.Module):
     base_features: int = 32
     depth_strides: tuple = (1, 1)
     dtype: Any = None
+    # tail (3,7,7) conv with C_out=1 is MXU-degenerate through the direct
+    # lowering (N=1 fills 1/128 lanes) — the tap decomposition
+    # (ops.tap_conv.conv3d_tail_taps) computes it as a pointwise matmul +
+    # 147 shifted adds, exact and differentiable. None = auto (TPU).
+    tap_tail: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -117,8 +122,23 @@ class Generator3D(nn.Module):
             )(h)
             h = instance_norm3d(h)
             h = nn.relu(h)
-        h = Conv3d(self.output_nc, kernel=(3, 7, 7),
-                   padding=[(1, 1), (3, 3), (3, 3)], dtype=self.dtype)(h)
+        taps = self.tap_tail
+        if taps is None:
+            taps = jax.default_backend() == "tpu"
+        if taps:
+            from ctagan_tpu.models.layers import _ConvTorchParams
+            from ctagan_tpu.ops.tap_conv import conv3d_tail_taps
+
+            k, b = _ConvTorchParams(
+                (3, 7, 7, h.shape[-1], self.output_nc),
+                torch_conv_kernel_init(), name="Conv3d_3",
+            )()
+            if self.dtype is not None:
+                h = h.astype(self.dtype)
+            h = conv3d_tail_taps(h, k, b)
+        else:
+            h = Conv3d(self.output_nc, kernel=(3, 7, 7),
+                       padding=[(1, 1), (3, 3), (3, 3)], dtype=self.dtype)(h)
         return nn.tanh(h)
 
 

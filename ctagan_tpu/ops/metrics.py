@@ -65,12 +65,19 @@ def uqi(fake, real):
 
 
 def _uniform_filter(x, win):
-    """Mean filter with a win x win box, 'valid' region only, via two 1-D
-    depthwise convolutions (separable box filter — cheap on the VPU)."""
-    k = jnp.ones((win,), jnp.float32) / win
-    x = jax.vmap(lambda r: jnp.convolve(r, k, mode="valid"), in_axes=0)(x)
-    x = jax.vmap(lambda c: jnp.convolve(c, k, mode="valid"), in_axes=1, out_axes=1)(x)
-    return x
+    """Mean filter with a win x win box, 'valid' region only, as an exact
+    windowed SUM (pure f32 adds on the VPU) divided once.
+
+    Deliberately NOT a convolution: on TPU, XLA lowers f32 convs through
+    the MXU with bfloat16 multiplies by default, and the ssim variance
+    terms (uxx - ux²) cancel catastrophically at that precision — measured
+    val SSIM up to 1.054 (> 1 is mathematically impossible) on a real
+    training run before this fix."""
+    s = jax.lax.reduce_window(
+        jnp.asarray(x, jnp.float32), 0.0, jax.lax.add,
+        (win, win), (1, 1), "VALID",
+    )
+    return s / float(win * win)
 
 
 def ssim(im1, im2, data_range=2.0, win_size=7, k1=0.01, k2=0.03):

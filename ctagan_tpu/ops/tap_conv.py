@@ -56,6 +56,42 @@ def conv7_head_taps(x, kernel, bias, pad_mode: str = "reflect"):
     return out.reshape(n, h, w, cout).astype(x.dtype)
 
 
+def conv3d_tail_taps(x, kernel, bias):
+    """(3, 7, 7) 'same'(zero) 3-D conv for small C_out — the volumetric
+    generator's tail (models/volumetric.py): matmul into a 147-tap image +
+    147 static shifted adds. Same trick as ``conv7_tail_taps`` one
+    dimension up; the direct lowering wastes 127/128 MXU lanes on C_out=1.
+
+    x: (N, D, H, W, C_in); kernel: (3, 7, 7, C_in, C_out); bias: (C_out,).
+    """
+    n, d, h, w, cin = x.shape
+    kd, kh, kw = kernel.shape[:3]
+    cout = kernel.shape[-1]
+    taps = kd * kh * kw
+    k = kernel.astype(x.dtype).transpose(3, 0, 1, 2, 4).reshape(
+        cin, taps * cout
+    )
+    y = jax.lax.dot_general(
+        x.reshape(-1, cin), k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(n, d, h, w, taps * cout).astype(x.dtype)
+    pz, py, px = kd // 2, kh // 2, kw // 2
+    yp = jnp.pad(
+        y, ((0, 0), (pz, pz), (py, py), (px, px), (0, 0))
+    )
+    out = jnp.zeros((n, d, h, w, cout), jnp.float32)
+    for dz in range(kd):
+        for dy in range(kh):
+            for dx in range(kw):
+                t = (dz * kh + dy) * kw + dx
+                out = out + yp[
+                    :, dz : dz + d, dy : dy + h, dx : dx + w,
+                    t * cout : (t + 1) * cout,
+                ]
+    return (out + bias.astype(jnp.float32)).astype(x.dtype)
+
+
 def conv7_tail_taps(x, kernel, bias, pad_mode: str = "reflect"):
     """7×7 'same' conv for small C_out: matmul to tap space + 49 shifted
     adds.  Padding the tap image equals padding the input for both reflect

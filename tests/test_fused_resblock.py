@@ -193,3 +193,44 @@ def test_generator_fused_up_path_parity():
     np.testing.assert_allclose(
         g_fused.apply(params, x), g_ref.apply(params, x), atol=2e-4
     )
+
+
+def test_fused_chain_bfloat16():
+    from ctagan_tpu.ops.fused_resblock import fused_residual_chain
+
+    x = _rand((1, 8, 128, 128), 30).astype(jnp.bfloat16)
+    params = [tuple(_rand(s, 31 + i * 4 + j) * (0.05 if len(s) > 1 else 0.1)
+                    for j, s in enumerate(((3, 3, 128, 128), (128,),
+                                           (3, 3, 128, 128), (128,))))
+              for i in range(2)]
+    got = fused_residual_chain(x, params)
+    want = x
+    for k1, b1, k2, b2 in params:
+        want = fused_residual_block(want, k1, b1, k2, b2)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        got.astype(jnp.float32), want.astype(jnp.float32), atol=5e-2
+    )
+
+
+def test_chain_in_norm_matches_explicit_prenorm():
+    from ctagan_tpu.ops.fused_resblock import (
+        _stats_to_norm,
+        fused_residual_chain,
+    )
+
+    raw = _rand((1, 8, 128, 128), 40)
+    params = [tuple(_rand(s, 41 + j) * (0.05 if len(s) > 1 else 0.1)
+                    for j, s in enumerate(((3, 3, 128, 128), (128,),
+                                           (3, 3, 128, 128), (128,))))]
+    rawf = raw.astype(jnp.float32)
+    stats = jnp.stack([jnp.sum(rawf, axis=(1, 2)),
+                       jnp.sum(rawf * rawf, axis=(1, 2))], axis=1)
+    norm = _stats_to_norm(stats, float(8 * 128), 1e-5)
+    got = fused_residual_chain(raw, params, in_norm=norm, in_relu=True)
+    xn = jnp.maximum(
+        (rawf - norm[:, 0][:, None, None, :]) * norm[:, 1][:, None, None, :],
+        0.0,
+    ).astype(raw.dtype)
+    want = fused_residual_chain(xn, params)
+    np.testing.assert_allclose(got, want, atol=2e-5)

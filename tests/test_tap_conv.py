@@ -77,3 +77,34 @@ def test_generator_tap_heads_parity(pad_mode):
     np.testing.assert_allclose(
         g_tap.apply(params, x), g_ref.apply(params, x), atol=2e-5
     )
+
+
+def test_conv3d_tail_taps_matches_direct():
+    from ctagan_tpu.ops.tap_conv import conv3d_tail_taps
+
+    x = _rand((1, 4, 12, 12, 8))
+    k = _rand((3, 7, 7, 8, 1), 7, 0.05)
+    b = _rand((1,), 8)
+    got = conv3d_tail_taps(x, k, b)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), [(1, 1), (3, 3), (3, 3)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ) + b
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_generator3d_tap_tail_parity():
+    from ctagan_tpu.models.volumetric import Generator3D
+
+    g_ref = Generator3D(n_residual_blocks=1, base_features=8,
+                        tap_tail=False)
+    g_tap = Generator3D(n_residual_blocks=1, base_features=8,
+                        tap_tail=True)
+    x = _rand((1, 4, 16, 16, 1))
+    params = g_ref.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(
+        g_tap.init(jax.random.PRNGKey(0), x)
+    ) == jax.tree_util.tree_structure(params)
+    np.testing.assert_allclose(
+        g_tap.apply(params, x), g_ref.apply(params, x), atol=2e-5
+    )
