@@ -167,7 +167,7 @@ def convt2x_stats(x, kernel_t, bias, norm=None, relu: bool = False,
         out_dtype=dt,
     )
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((3, 3, c, cout), lambda ni, ti: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cout), lambda ni, ti: (0, 0),

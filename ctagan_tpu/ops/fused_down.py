@@ -145,7 +145,7 @@ def conv3x3_s2_zero_stats(x, w, b, norm=None, relu: bool = False,
         relu=relu, out_dtype=dt,
     )
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((3, 4 * c, cout), lambda ni, ti: (0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cout), lambda ni, ti: (0, 0),

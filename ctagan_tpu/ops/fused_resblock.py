@@ -20,7 +20,7 @@ memory traffic at all:
   its OWN output.  Optionally it first applies the *previous* norm's
   (mean, rstd) + ReLU to the input rows as they stream through VMEM — so the
   normalize of layer k is fused into the conv of layer k+1.
-- The input image stays in HBM (``pltpu.ANY``); row slabs of R rows plus the
+- The input image stays in HBM (``pl.ANY``); row slabs of R rows plus the
   2 reflect halo rows are streamed in with double-buffered async DMAs
   (3 DMAs per tile: body rows + top/bottom halo rows whose source index
   folds the edge reflection, so no in-kernel fixups are needed).
@@ -206,10 +206,10 @@ def conv3x3_reflect_stats(
         _kernel, R=R, T=T, H=h, W=wdim, prenorm=norm is not None,
         relu=relu, skip=skip is not None, emit=emit_input, out_dtype=dt,
     )
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # x in HBM, DMA'd in
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # x in HBM, DMA'd in
     args = [x]
     if skip is not None:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(skip.astype(dt))
     in_specs += [
         pl.BlockSpec((3, 3 * c, cout), lambda ni, ti: (0, 0, 0),
@@ -302,6 +302,8 @@ def fused_residual_chain(x, block_params, eps: float = 1e-5,
     norm+activation into block 0's first kernel, which emits the
     materialized block input x_0 (the first skip) as a by-product.
     """
+    if not block_params:  # n_residual_blocks=0: nothing to fuse
+        return x
     n, h, wdim, c = x.shape
     hw = float(h * wdim)
     h2 = s2 = None

@@ -7,8 +7,13 @@ the 128-lane systolic array, and XLA's direct conv lowering pays the full
 padded cost — measured 18.2 ms (head) / 43.7 ms (tail) of the 512² b=32
 bf16 forward, ~10-30× off roofline.
 
-Both decompose EXACTLY (same arithmetic to float ordering) into dense
-pieces the hardware likes:
+Both decompose exactly in real arithmetic into dense pieces the hardware
+likes; in low precision the only deviation from the direct conv is one
+extra rounding of the tap image to ``x.dtype`` between the matmul and the
+shifted-add accumulation (~1 ulp per tap in bf16 — keeping the tap image
+f32 would double its HBM traffic, which is what the decomposition exists
+to avoid). The head path has no such rounding (single matmul, f32
+accumulate):
 
 - head  (small C_in): im2col by 49 static slices of the reflect-padded
   input → ONE (H·W, 49·C_in) x (49·C_in, C_out) matmul.

@@ -150,6 +150,12 @@ def warp2d_adaptive(src, flow, max_local_disp: int = 4):
     lower as unaligned dynamic slices — kept only as a documented negative
     result); this adaptive form rides the warp_max_disp fast path
     (HD step 130.6 -> 113.4 ms in the perf ladder) at exact semantics.
+
+    The predicate is batch-GLOBAL: one outlier pixel (or any NaN, which
+    compares false) routes the entire batch through the slow gather branch.
+    Semantics stay exact either way — it is a perf cliff only, acceptable
+    because trained flows stay well inside the radius (see the perf ladder
+    measurements).
     """
     r = int(max_local_disp)
     small = jnp.max(jnp.abs(flow)) <= r

@@ -75,6 +75,19 @@ def test_generator_fused_body_parity():
     )
 
 
+def test_generator_fused_body_zero_blocks():
+    # n_residual_blocks=0: the chain is a no-op, fused == unfused (ADVICE r1)
+    g_ref = Generator(1, 1, n_residual_blocks=0, base_features=32)
+    g_fused = Generator(
+        1, 1, n_residual_blocks=0, base_features=32, fused_body=True
+    )
+    x = _rand((1, 16, 512, 1))
+    params = g_ref.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        g_fused.apply(params, x), g_ref.apply(params, x), atol=1e-4
+    )
+
+
 def test_generator_fused_body_fallback():
     # body 16x16x256: W%128 != 0 -> silently identical to the XLA path
     assert not can_fuse((1, 16, 16, 256))
