@@ -25,6 +25,7 @@ fused on-device use.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -87,6 +88,7 @@ class PairedSliceDataset:
         unaligned: bool = False,
         size: Optional[int] = None,
         context_slices: int = 1,
+        seed: int = 0,
     ):
         files_a = _read_list(list_file)
         if sort:
@@ -95,6 +97,13 @@ class PairedSliceDataset:
         self.files_b = _pair(files_a)
         self.unaligned = unaligned
         self.size = size
+        self.seed = seed
+        # per-index access counters for the unaligned B-draws: each visit to
+        # an index gets a fresh but REPRODUCIBLE key (seed, index, count) —
+        # deterministic under any loader thread interleaving because the
+        # count per index, not the global access order, drives the stream
+        self._b_counts: Dict[int, int] = {}
+        self._b_lock = threading.Lock()
         # 2.5-D context: the input A becomes ``context_slices`` adjacent
         # slices of the same series stacked on channels (center slice is the
         # prediction target's partner). New capability vs the reference's
@@ -136,10 +145,14 @@ class PairedSliceDataset:
         if self.unaligned:
             # unpaired sampling for CycleGAN-style training: a fresh random B
             # per access, like the reference's random.randint draw
-            # (ImageDataset(unaligned=True), datasets.py:109-111). Entropy-
-            # seeded per call: thread-safe under the loader's decode pool and
-            # genuinely re-randomized every epoch.
-            rng = np.random.default_rng()
+            # (ImageDataset(unaligned=True), datasets.py:109-111) — but keyed
+            # rather than entropy-seeded, so same-seed runs are bit-exact
+            # (the reference's per-worker reseeding defeats its own seed).
+            # Each epoch's pass bumps the per-index count -> re-randomized
+            # every epoch, thread-safe under the loader's decode pool.
+            with self._b_lock:
+                count = self._b_counts[index] = self._b_counts.get(index, 0) + 1
+            rng = np.random.default_rng((self.seed, index, count))
             b_path = self.files_b[int(rng.integers(0, len(self.files_b)))]
         else:
             b_path = self.files_b[index % len(self.files_b)]

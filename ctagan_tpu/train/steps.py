@@ -232,6 +232,7 @@ class CycState:
     fake_b_buffer: ReplayBuffer
     rng: jax.Array
     g_ema: Any = None  # EMA of the A2B generator (the eval surface)
+    g_ema_b2a: Any = None  # EMA of the B2A generator (CTA->NCCT direction)
 
 
 def init_cyc_state(
@@ -248,6 +249,7 @@ def init_cyc_state(
     # CycTrainer.py:74-76) -> a single opt state over the param pair
     g_opt = tx.init((g_a2b, g_b2a))
     g_ema = jax.tree.map(lambda x: x, g_a2b) if ema else None
+    g_ema_b2a = jax.tree.map(lambda x: x, g_b2a) if ema else None
     return (
         CycState(
             g_a2b,
@@ -261,6 +263,7 @@ def init_cyc_state(
             ReplayBuffer.create(buffer_size, (size, size, input_nc)),
             ks[4],
             g_ema,
+            g_ema_b2a,
         ),
         tx,
     )
@@ -323,9 +326,11 @@ def cyc_train_step(g_model, d_model, tx, cfg, state: CycState, batch, lr):
 
     g_ema = _ema_update(state.g_ema, g_a2b, cfg.get("ema_decay", 0.999),
                         count=g_opt.count)
+    g_ema_b2a = _ema_update(state.g_ema_b2a, g_b2a,
+                            cfg.get("ema_decay", 0.999), count=g_opt.count)
     new_state = CycState(
         g_a2b, g_b2a, d_a_params, d_b_params, g_opt, d_a_opt, d_b_opt,
-        buf_a, buf_b, rng, g_ema,
+        buf_a, buf_b, rng, g_ema, g_ema_b2a,
     )
     return new_state, {
         "loss_G": g_loss,

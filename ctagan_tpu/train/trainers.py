@@ -185,6 +185,7 @@ class TrainerBase:
             size=self.config.size,
             unaligned=self.config.unaligned,
             context_slices=self.config.context_slices,
+            seed=self.config.seed,
         )
 
     def _make_eval_dataset(self, list_file):

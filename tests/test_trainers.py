@@ -286,8 +286,38 @@ def test_cyclegan_ema(tmp_path, corpus):
     cfg = _config(tmp_path, corpus, name="CycleGan", size=64, ema_decay=0.9)
     t = CycTrainer(cfg, quiet=True)
     assert t.state.g_ema is not None
-    t.train(max_steps_per_epoch=1)
+    assert t.state.g_ema_b2a is not None
+    init_b2a = jax.device_get(t.state.g_b2a_params)
+    t.train(max_steps_per_epoch=2)
     for a, b in zip(jax.tree.leaves(t._g_params()), jax.tree.leaves(t.state.g_ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the B2A shadow tracks its own generator (debiased EMA: after the first
+    # steps the shadow equals the debiased average, which has moved off init)
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(init_b2a), jax.tree.leaves(t.state.g_ema_b2a)
+        )
+    )
+    assert moved
+
+
+def test_cyclegan_unaligned_deterministic(tmp_path, corpus):
+    """Same seed -> bit-identical params for the CycleGAN family, including
+    the unaligned B-draws (keyed per (seed, index, access-count) instead of
+    the reference's per-worker entropy reseeding, datasets.py:109-111)."""
+    def run(tag):
+        cfg = _config(tmp_path, corpus, name="CycleGan", size=64,
+                      unaligned=True,
+                      save_root=str(tmp_path / f"cyc{tag}") + "/")
+        t = CycTrainer(cfg, quiet=True)
+        t.train(max_steps_per_epoch=2)
+        return jax.device_get(
+            (t.state.g_a2b_params, t.state.g_b2a_params)
+        )
+
+    g1, g2 = run("a"), run("b")
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
