@@ -15,7 +15,13 @@ from ctagan_tpu.data.corpus import (
 from ctagan_tpu.data.dicom import make_ct_slice, read_dicom, write_dicom
 from ctagan_tpu.data.fixtures import make_corpus, synthetic_ct_pixels
 from ctagan_tpu.data.registration import (
+    _load_series,
+    align_patient,
+    dicom_to_nii,
+    invert_lists,
+    nii_to_dicom,
     phase_correlation_shift,
+    register_syn,
     register_translation,
 )
 
@@ -27,6 +33,7 @@ def _tree(root, n_patients=5, slices=2, manufacturers=None):
         for se, desc in (("SE0", "C-"), ("SE1", "C+")):
             d = os.path.join(root, f"pat{p}", "ST0", se)
             os.makedirs(d, exist_ok=True)
+            uid = f"1.2.{p}.{1 if se == 'SE1' else 0}"  # one UID per series
             for s in range(slices):
                 ds = make_ct_slice(
                     synthetic_ct_pixels(rng, 16, contrast=(se == "SE1")),
@@ -35,6 +42,7 @@ def _tree(root, n_patients=5, slices=2, manufacturers=None):
                     accession=f"A{p}",
                     slice_location=float(s),
                     manufacturer=manufacturers[p],
+                    series_uid=uid,
                 )
                 write_dicom(ds, os.path.join(d, f"IM{s}"))
 
@@ -125,6 +133,162 @@ def test_register_translation_roundtrip(tmp_path):
         write_dicom(ds, p)
     shift = register_translation(str(tmp_path), "pat0")
     assert tuple(shift[1:]) == (-5, 3)  # undoes the spatial shift
+
+
+class _MockAntsImage:
+    def __init__(self, arr):
+        self.arr = np.asarray(arr)
+
+    def numpy(self):
+        return self.arr
+
+
+class _MockAnts:
+    """Minimal antspyx stand-in: 'SyN' = exact phase-correlation rigid
+    alignment, transform list carries the found shift. Exercises the full
+    register_syn orchestration path (data_process.py:523-653) hermetically."""
+
+    calls = []
+
+    @staticmethod
+    def from_numpy(a):
+        return _MockAntsImage(a)
+
+    @staticmethod
+    def registration(fixed, moving, type_of_transform):
+        assert type_of_transform == "SyN"
+        shift = phase_correlation_shift(fixed.arr, moving.arr)
+        _MockAnts.calls.append(("registration", tuple(shift)))
+        return {"fwdtransforms": [tuple(int(s) for s in shift)]}
+
+    @staticmethod
+    def apply_transforms(fixed, moving, transformlist, interpolator="linear"):
+        assert interpolator == "linear"
+        (shift,) = transformlist
+        return _MockAntsImage(np.roll(moving.arr, shift, axis=(0, 1, 2)))
+
+
+def _patterned_tree(root, slices=6, shift=(2, 3), offset=100):
+    """One patient; SE1 = in-plane circularly shifted SE0 pattern + contrast
+    offset, so perfect registration has an exact, wrap-free ground truth."""
+    rng = np.random.default_rng(3)
+    base = [
+        (rng.integers(200, 3000, (16, 16))).astype(np.uint16)
+        for _ in range(slices)
+    ]
+    for se in ("SE0", "SE1"):
+        d = os.path.join(root, "pat0", "ST0", se)
+        os.makedirs(d, exist_ok=True)
+        for s in range(slices):
+            px = base[s]
+            if se == "SE1":
+                px = np.roll(px, shift, axis=(0, 1)) + offset
+            ds = make_ct_slice(
+                px.astype(np.uint16),
+                series_description="C-" if se == "SE0" else "C+",
+                patient_id="P0",
+                accession="A0",
+                slice_location=float(s),
+                series_uid="1.2.3." + ("1" if se == "SE1" else "0"),
+            )
+            write_dicom(ds, os.path.join(d, f"IM{s}"))
+    return base
+
+
+def test_nii_view_roundtrip_identity():
+    v = np.random.default_rng(0).normal(size=(5, 7, 9)).astype(np.float32)
+    np.testing.assert_array_equal(nii_to_dicom(dicom_to_nii(v)), v)
+
+
+def test_longest_series_selection(tmp_path):
+    d = os.path.join(str(tmp_path), "SE0")
+    os.makedirs(d)
+    # 3-slice main series + a 1-slice scout with its own SeriesInstanceUID
+    main_uid = "1.2.3.4"
+    for s in range(3):
+        ds = make_ct_slice(
+            np.full((8, 8), 1000 + s, np.uint16),
+            slice_location=float(s),
+            series_uid=main_uid,
+        )
+        write_dicom(ds, os.path.join(d, f"IM{s}"))
+    scout = make_ct_slice(
+        np.zeros((8, 8), np.uint16), slice_location=-50.0, series_uid="9.9.9"
+    )
+    write_dicom(scout, os.path.join(d, "IM99"))
+    vol, paths = _load_series(d)
+    assert vol.shape[0] == 3 and len(paths) == 3
+    assert all("IM99" not in p for p in paths)
+
+
+def test_align_patient_syn_mock_geometry(tmp_path):
+    base = _patterned_tree(str(tmp_path), slices=6, shift=(2, 3), offset=100)
+    se0_before, _ = _load_series(
+        os.path.join(str(tmp_path), "pat0", "ST0", "SE0")
+    )
+    method = register_syn(str(tmp_path), "pat0", ants_module=_MockAnts)
+    assert method == "syn" and _MockAnts.calls
+    se0_after, _ = _load_series(
+        os.path.join(str(tmp_path), "pat0", "ST0", "SE0")
+    )
+    se1_after, _ = _load_series(
+        os.path.join(str(tmp_path), "pat0", "ST0", "SE1")
+    )
+    # SE0 writeback is the identity round trip (:608-625 + the axis ledger)
+    np.testing.assert_array_equal(se0_after, se0_before)
+    # SE1 aligned exactly: shifted pattern rolled back onto SE0 + offset...
+    expected = np.stack(
+        [b.astype(np.float32) - 1024.0 + 100.0 for b in base]
+    )
+    np.testing.assert_array_equal(se1_after[:-1], expected[:-1])
+    # ...except the reference's NIfTI z=0 quirk slice (:634-636), which is
+    # written UNWARPED (z=0 in nii view = LAST slice in location order)
+    moving_last = np.roll(base[-1], (2, 3), axis=(0, 1)).astype(np.float32)
+    np.testing.assert_array_equal(se1_after[-1], moving_last - 1024.0 + 100.0)
+
+
+def test_align_patient_skips_short_series(tmp_path):
+    _patterned_tree(str(tmp_path), slices=3)
+    assert align_patient(str(tmp_path), "pat0", ants_module=_MockAnts) is None
+
+
+def test_align_patient_translation_fallback(tmp_path):
+    _patterned_tree(str(tmp_path), slices=6, shift=(5, -3), offset=0)
+    method = align_patient(str(tmp_path), "pat0", ants_module=None)
+    assert method == "translation"
+    se1_after, _ = _load_series(
+        os.path.join(str(tmp_path), "pat0", "ST0", "SE1")
+    )
+    se0_after, _ = _load_series(
+        os.path.join(str(tmp_path), "pat0", "ST0", "SE0")
+    )
+    np.testing.assert_array_equal(se1_after, se0_after)
+
+
+def test_invert_lists_roundtrip(tmp_path):
+    _patterned_tree(str(tmp_path), slices=5)
+    p_se0 = os.path.join(str(tmp_path), "pat0", "ST0", "SE0")
+    files = sorted(os.listdir(p_se0))
+    lst = os.path.join(str(tmp_path), "list.txt")
+    with open(lst, "w") as f:
+        for name in files:
+            f.write(os.path.join(p_se0, name) + "\n")
+    before = read_dicom(os.path.join(p_se0, files[0])).pixel_array().copy()
+    before_b = read_dicom(
+        os.path.join(p_se0, files[0]).replace("SE0", "SE1")
+    ).pixel_array().copy()
+    assert invert_lists(lst) == 5
+    after = read_dicom(os.path.join(p_se0, files[0])).pixel_array()
+    after_b = read_dicom(
+        os.path.join(p_se0, files[0]).replace("SE0", "SE1")
+    ).pixel_array()
+    np.testing.assert_array_equal(after, np.flip(before, axis=1))
+    np.testing.assert_array_equal(after_b, np.flip(before_b, axis=1))
+    # involution: a second pass restores the originals
+    invert_lists(lst)
+    np.testing.assert_array_equal(
+        read_dicom(os.path.join(p_se0, files[0])).pixel_array(), before
+    )
 
 
 def test_swapped_series_repair_moves_files(tmp_path):
