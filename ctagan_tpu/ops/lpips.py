@@ -125,6 +125,36 @@ def load_weights_from_torch(path: str) -> Dict[str, Any]:
     return params
 
 
+def combine_torch_checkpoints(
+    alexnet_path: str, lpips_path: str, out_path: str
+) -> str:
+    """Produce the single weights file ``load_weights_from_torch`` expects
+    from (a) a torchvision AlexNet checkpoint (``alexnet-owt-*.pth`` —
+    ``features.{0,3,6,8,10}.weight/bias``; classifier keys are dropped) and
+    (b) the lpips package's linear-head file (``lpips/weights/v0.1/alex.pth``
+    — ``lin{0-4}.model.1.weight``). Run on any machine that has the two
+    files, then point config ``lpips_weights`` at the output to enable the
+    reference's LPIPS columns (HdTrainer.py:509-536)."""
+    import torch
+
+    alex = torch.load(alexnet_path, map_location="cpu", weights_only=False)
+    if hasattr(alex, "state_dict"):
+        alex = alex.state_dict()
+    heads = torch.load(lpips_path, map_location="cpu", weights_only=False)
+    if hasattr(heads, "state_dict"):
+        heads = heads.state_dict()
+    merged = {}
+    for fi in (0, 3, 6, 8, 10):
+        merged[f"features.{fi}.weight"] = alex[f"features.{fi}.weight"]
+        merged[f"features.{fi}.bias"] = alex[f"features.{fi}.bias"]
+    for i in range(5):
+        key = f"lin{i}.model.1.weight"
+        src = key if key in heads else f"lins.{i}.model.1.weight"
+        merged[key] = heads[src]
+    torch.save(merged, out_path)
+    return out_path
+
+
 def make_lpips_fn(weights_path: Optional[str]):
     """Returns a jitted ``fn(img0, img1) -> scalar`` or None if no weights."""
     if not weights_path or not os.path.exists(weights_path):

@@ -46,6 +46,121 @@ def test_make_lpips_fn_gated_without_weights():
     assert make_lpips_fn("/nonexistent/weights.pth") is None
 
 
+def _random_torch_sd(seed=2):
+    feat_idx = [0, 3, 6, 8, 10]
+    cfg = [(3, 64, 11), (64, 192, 5), (192, 384, 3), (384, 256, 3), (256, 256, 3)]
+    sd = {}
+    rng = np.random.default_rng(seed)
+    for fi, (ic, oc, k) in zip(feat_idx, cfg):
+        sd[f"features.{fi}.weight"] = torch.tensor(
+            rng.standard_normal((oc, ic, k, k)).astype(np.float32) * 0.05
+        )
+        sd[f"features.{fi}.bias"] = torch.tensor(
+            rng.standard_normal(oc).astype(np.float32) * 0.01
+        )
+    for i, (_, oc, _) in enumerate(cfg):
+        # non-negative, as lpips heads are trained to be (clamp is a no-op)
+        sd[f"lin{i}.model.1.weight"] = torch.tensor(
+            np.abs(rng.standard_normal((1, oc, 1, 1)).astype(np.float32))
+        )
+    return sd
+
+
+def _torch_lpips_reference(sd, x0, x1):
+    """The LPIPS v0.1 forward in torch (the formulation the lpips package
+    implements: ReLU taps, unit-normalize, squared diff, non-negative 1x1
+    heads, spatial mean, sum over taps) — the parity oracle."""
+    import torch.nn.functional as F
+
+    strides = [4, 1, 1, 1, 1]
+    pads = [2, 2, 1, 1, 1]
+
+    def feats(x):
+        taps = []
+        h = x
+        for i, fi in enumerate([0, 3, 6, 8, 10]):
+            h = F.conv2d(
+                h, sd[f"features.{fi}.weight"], sd[f"features.{fi}.bias"],
+                stride=strides[i], padding=pads[i],
+            ).relu()
+            taps.append(h)
+            if i in (0, 1):
+                h = F.max_pool2d(h, 3, 2)
+        return taps
+
+    total = 0.0
+    for i, (f0, f1) in enumerate(zip(feats(x0), feats(x1))):
+        n0 = f0 / torch.sqrt((f0 ** 2).sum(1, keepdim=True) + 1e-10)
+        n1 = f1 / torch.sqrt((f1 ** 2).sum(1, keepdim=True) + 1e-10)
+        diff = (n0 - n1) ** 2
+        lin = sd[f"lin{i}.model.1.weight"]
+        total = total + (diff * lin).sum(1, keepdim=True).mean((2, 3))
+    return float(total.squeeze())
+
+
+def test_full_forward_parity_vs_torch(tmp_path):
+    """END-TO-END numerical parity: the JAX LPIPS distance matches a torch
+    implementation of the same formulation with shared random weights
+    (VERDICT r1 #7 — previously only the first conv was cross-checked)."""
+    sd = _random_torch_sd()
+    p = tmp_path / "lpips_full.pth"
+    torch.save(sd, p)
+    fn = make_lpips_fn(str(p))
+
+    rng = np.random.default_rng(7)
+    a = rng.uniform(-1, 1, (64, 64)).astype(np.float32)
+    b = rng.uniform(-1, 1, (64, 64)).astype(np.float32)
+    got = float(fn(jnp.asarray(a), jnp.asarray(b)))
+
+    shift = np.array([-0.030, -0.088, -0.188], np.float32)
+    scale = np.array([0.458, 0.448, 0.450], np.float32)
+
+    def prep(im):
+        im3 = np.tile(im[None, :, :, None], (1, 1, 1, 3))
+        im3 = (im3 - shift) / scale
+        return torch.tensor(im3.transpose(0, 3, 1, 2), dtype=torch.float32)
+
+    want = _torch_lpips_reference(sd, prep(a), prep(b))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_combine_torch_checkpoints(tmp_path):
+    """The documented converter: torchvision AlexNet sd (with classifier
+    keys) + lpips heads file -> the single weights file the loader expects."""
+    from ctagan_tpu.ops.lpips import combine_torch_checkpoints
+
+    sd = _random_torch_sd(seed=5)
+    alex_sd = {k: v for k, v in sd.items() if k.startswith("features")}
+    alex_sd["classifier.1.weight"] = torch.zeros(4096, 9216)  # dropped
+    heads_sd = {k: v for k, v in sd.items() if k.startswith("lin")}
+    pa, pl = tmp_path / "alex.pth", tmp_path / "heads.pth"
+    torch.save(alex_sd, pa)
+    torch.save(heads_sd, pl)
+    out = combine_torch_checkpoints(str(pa), str(pl), str(tmp_path / "c.pth"))
+    fn = make_lpips_fn(out)
+    assert fn is not None
+    x = np.random.default_rng(1).uniform(-1, 1, (32, 32)).astype(np.float32)
+    assert float(fn(jnp.asarray(x), jnp.asarray(-x))) > 0
+
+
+def test_eval_emits_lpips_columns(tmp_path):
+    """With a weights file configured the evaluator emits the reference's
+    two LPIPS columns (HdTrainer.py:509-536, :553-564)."""
+    from ctagan_tpu.train.evaluation import aggregate, evaluate_pair
+
+    sd = _random_torch_sd(seed=9)
+    p = tmp_path / "w.pth"
+    torch.save(sd, p)
+    fn = make_lpips_fn(str(p))
+    rng = np.random.default_rng(0)
+    fake = rng.uniform(-1, 1, (64, 64)).astype(np.float32)
+    real = rng.uniform(-1, 1, (64, 64)).astype(np.float32)
+    row = evaluate_pair(fake, real, 50.0, 400.0, lpips_fn=fn)
+    assert "LPIPS" in row and "LPIPSw" in row
+    agg = aggregate([row, row])
+    assert np.isfinite(agg["LPIPS"]) and np.isfinite(agg["LPIPSw"])
+
+
 def test_torch_weight_import_roundtrip(tmp_path, params):
     """Export torch-layout weights, re-import, check parity with a direct
     torch conv on the first tap."""
