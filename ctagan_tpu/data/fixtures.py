@@ -15,19 +15,76 @@ import numpy as np
 from ctagan_tpu.data.dicom import generate_uid, make_ct_slice, write_dicom
 
 
+_NCCT_VESSEL_HU = 90.0  # unenhanced blood+wall: visible over 40 HU tissue
+_CTA_VESSEL_HU = 240.0  # enhanced: inside the WC50/WW400 display window so
+# the windowed vessel-fidelity protocol (HdTrainer.py:481-538) stays
+# discriminative (not clipped to the window ceiling)
+
+
+def vessel_tree_mask(
+    size: int, z: float, patient_seed: int, n_vessels: int = 3
+) -> np.ndarray:
+    """DETERMINISTIC parametric vessel tree cross-section at slice ``z``.
+
+    Each patient (seed) gets ``n_vessels`` smooth curves through the body:
+    center follows a sinusoid in z, radius breathes slowly. Stable across
+    the NCCT/CTA pair and across runs — so the CTA vessel content is a
+    deterministic, learnable function of the NCCT (VERDICT r1 #5: random
+    per-slice vessel noise made the reference's windowed vessel protocol
+    non-discriminative on the old fixture)."""
+    prng = np.random.default_rng(patient_seed)
+    yy, xx = np.mgrid[:size, :size]
+    mask = np.zeros((size, size), bool)
+    for _ in range(n_vessels):
+        ang = prng.uniform(0, 2 * np.pi)
+        rad0 = prng.uniform(0.12, 0.28)
+        wob = prng.uniform(0.02, 0.06)
+        phase = prng.uniform(0, 2 * np.pi)
+        freq = prng.uniform(0.15, 0.45)
+        drift = prng.uniform(-0.04, 0.04)
+        r_v = prng.uniform(0.03, 0.055)
+        rr = rad0 + wob * np.sin(freq * z + phase)
+        a = ang + drift * z
+        cy = size / 2 + size * rr * np.sin(a)
+        cx = size / 2 + size * rr * np.cos(a)
+        rad = size * r_v * (1.0 + 0.2 * np.sin(0.3 * z + phase))
+        mask |= np.hypot(yy - cy, xx - cx) < rad
+    # vessels live strictly inside the soft-tissue disc
+    r = np.hypot(yy - size / 2, xx - size / 2)
+    return mask & (r < size * 0.36)
+
+
 def synthetic_ct_pixels(
-    rng: np.random.Generator, size: int = 64, contrast: bool = False
+    rng: np.random.Generator,
+    size: int = 64,
+    contrast: bool = False,
+    vessel_mask: Optional[np.ndarray] = None,
+    noise: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """A plausible stored-value (0..4095) CT slice: air background, a noisy
-    soft-tissue disc, a bone rim, and (for the CTA partner) bright vessels."""
+    soft-tissue disc, a bone rim, and vessels.
+
+    Legacy mode (``vessel_mask=None``): the CTA partner gets one fixed
+    noisy vessel (round-1 behavior, kept for the data-plumbing tests).
+    Deterministic mode: pass the shared ``vessel_mask`` (one per slice,
+    from :func:`vessel_tree_mask`) and the shared ``noise`` field — the
+    pair then differs ONLY by the deterministic vessel enhancement
+    (NCCT 90 HU -> CTA 240 HU), making the NCCT->CTA mapping exactly
+    learnable and the vessel-window metrics meaningful."""
     yy, xx = np.mgrid[:size, :size]
     r = np.hypot(yy - size / 2, xx - size / 2)
     img = np.zeros((size, size), np.float32)
     body = r < size * 0.4
-    img[body] = 1024 + 40 + rng.normal(0, 12, body.sum())
+    if noise is None:
+        img[body] = 1024 + 40 + rng.normal(0, 12, body.sum())
+    else:
+        img[body] = 1024 + 40 + noise[body]
     rim = (r >= size * 0.38) & (r < size * 0.4)
     img[rim] = 1024 + 600
-    if contrast:
+    if vessel_mask is not None:
+        hu = _CTA_VESSEL_HU if contrast else _NCCT_VESSEL_HU
+        img[vessel_mask] = 1024 + hu
+    elif contrast:
         vy, vx = int(size * 0.5), int(size * 0.42)
         vessel = np.hypot(yy - vy, xx - vx) < size * 0.04
         img[vessel] = 1024 + 350 + rng.normal(0, 10, vessel.sum())
@@ -53,8 +110,14 @@ def make_corpus(
         os.makedirs(se1, exist_ok=True)
         uid0, uid1 = generate_uid(), generate_uid()
         for s in range(slices_per_patient):
-            ncct = synthetic_ct_pixels(rng, size, contrast=False)
-            cta = synthetic_ct_pixels(rng, size, contrast=True)
+            vmask = vessel_tree_mask(size, float(s), seed * 1009 + p)
+            shared_noise = rng.normal(0, 12, (size, size)).astype(np.float32)
+            ncct = synthetic_ct_pixels(
+                rng, size, contrast=False, vessel_mask=vmask, noise=shared_noise
+            )
+            cta = synthetic_ct_pixels(
+                rng, size, contrast=True, vessel_mask=vmask, noise=shared_noise
+            )
             common = dict(
                 patient_id=f"P{p}", accession=f"A{p}", slice_location=float(s) * 5.0
             )
