@@ -47,6 +47,12 @@ class Generator(nn.Module):
     # passes. Same param tree as the XLA path (checkpoints interchange);
     # falls back per-block when shapes can't fuse. Not differentiable.
     fused_body: bool = False
+    # TRAINING-path fused body: the same conv+IN Pallas chain with a custom
+    # VJP (ops/fused_resblock_grad.py) — input-grad as a zero-halo
+    # correlation kernel + reflect folds, weight-grad as transpose-matmuls
+    # with in-kernel norm/ReLU recompute (relu(IN(h1)) never hits HBM).
+    # Gradient parity vs the XLA body locked by tests/test_fused_grad.py.
+    fused_body_grad: bool = False
     # 7×7 head/tail via the tap decomposition (ops/tap_conv.py): these conv
     # shapes are MXU-degenerate (K=49·input_nc head, N=output_nc tail).
     # Exact to float ordering and differentiable (training uses it too).
@@ -186,6 +192,27 @@ class Generator(nn.Module):
                 h = h.astype(self.dtype)
             h = fused_residual_chain(h, params, in_norm=in_norm,
                                      in_relu=in_norm is not None)
+        elif (
+            self.fused_body_grad
+            and not zero
+            and ax is None
+            and can_fuse(body_shape)
+            and (f * 4) % 128 == 0
+            and self.n_residual_blocks > 0
+        ):
+            # differentiable fused chain (plain form — down/up stay XLA on
+            # the training path)
+            from ctagan_tpu.ops.fused_resblock_grad import (
+                fused_chain_vjp_make,
+            )
+
+            params = [
+                _ResBlockParams(f * 4, f * 4, name=f"ResidualBlock_{i}")()
+                for i in range(self.n_residual_blocks)
+            ]
+            if self.dtype is not None:
+                h = h.astype(self.dtype)
+            h = fused_chain_vjp_make()(h, params)
         else:
             for _ in range(self.n_residual_blocks):
                 h = block_cls(f * 4, self.halo // 4)(h)

@@ -94,23 +94,36 @@ class TrainerBase:
 
         def _val_step(params, a, b):
             # G forward + both validation metrics in ONE device call —
-            # per-call tunnel latency would otherwise dominate val time
+            # per-call tunnel latency would otherwise dominate val time.
+            # Returns per-sample (N,) vectors; the N==1 branch keeps the
+            # exact unbatched arithmetic (identical HLO to the per-slice
+            # path) so the default eval_batch=1 stays bit-identical.
             fake = self.g_eval.apply(params, a)
-            fb = self._eval_slice(fake).astype(jnp.float32)
-            rb = self._eval_slice(b).astype(jnp.float32)
-            return masked_psnr(fb, rb), ssim(fb, rb)
+            fb = self._eval_slices(fake).astype(jnp.float32)
+            rb = self._eval_slices(b).astype(jnp.float32)
+            if fb.shape[0] == 1:
+                return (
+                    masked_psnr(fb[0], rb[0])[None],
+                    ssim(fb[0], rb[0])[None],
+                )
+            return jax.vmap(masked_psnr)(fb, rb), jax.vmap(ssim)(fb, rb)
 
         self._val_step = jax.jit(_val_step)
 
         def _test_step(params, a, b, wc, ww):
             # G forward + the full 8-metric window/raw suite in ONE call;
-            # the synthetic slice comes back for DICOM writeback
+            # the synthetic slices come back for DICOM writeback.
+            # wc/ww: per-sample (N,) vectors (each slice scores in its own
+            # SE1 header window). N==1 keeps the exact unbatched arithmetic.
             from ctagan_tpu.train.evaluation import _metric_suite
 
             fake = self.g_eval.apply(params, a)
-            fb = self._eval_slice(fake).astype(jnp.float32)
-            rb = self._eval_slice(b).astype(jnp.float32)
-            return fb, _metric_suite(fb, rb, wc, ww)
+            fb = self._eval_slices(fake).astype(jnp.float32)
+            rb = self._eval_slices(b).astype(jnp.float32)
+            if fb.shape[0] == 1:
+                m = _metric_suite(fb[0], rb[0], wc[0], ww[0])
+                return fb, {k: v[None] for k, v in m.items()}
+            return fb, jax.vmap(_metric_suite)(fb, rb, wc, ww)
 
         self._test_step = jax.jit(_test_step)
         self._build_datasets()
@@ -125,6 +138,7 @@ class TrainerBase:
             dtype=_dtype(self.config),
             remat=self.config.remat,
             pad_mode=self.config.pad_mode,
+            fused_body_grad=self.config.fused_body_grad,
         )
 
     def _build_eval_generator(self):
@@ -151,11 +165,11 @@ class TrainerBase:
         raise NotImplementedError
 
     @staticmethod
-    def _eval_slice(x):
-        """Extract the (H, W) evaluation slice from a model tensor — 2-D
-        families take the (single) slice; the 3-D family overrides with the
-        center depth slice."""
-        return x[0, :, :, 0]
+    def _eval_slices(x):
+        """Extract the (N, H, W) evaluation slices from a model tensor — 2-D
+        families take the slice per sample; the 3-D family overrides with
+        the center depth slice."""
+        return x[:, :, :, 0]
 
     def _g_params(self):
         """Evaluation params: the EMA shadow when enabled, else the live G
@@ -413,18 +427,41 @@ class TrainerBase:
         return batch["A"], batch["B"]
 
     def validate(self):
+        """Mean masked PSNR/SSIM over the val list (HdTrainer.py:230-281).
+
+        Pipelined: every per-batch metric program is DISPATCHED before the
+        first result is pulled (device programs execute in order, so one
+        late drain overlaps the ~29 ms per-call tunnel latency across the
+        whole list — same methodology as bench.py). ``eval_batch`` > 1
+        additionally batches slices through one forward; the default of 1
+        keeps arithmetic bit-identical to the reference's per-slice loop.
+        """
+        from collections import deque
+
+        k = max(1, int(self.config.eval_batch))
         loader = PrefetchLoader(
-            self.val_dataset, batch_size=1, num_threads=self.config.n_cpu
+            self.val_dataset, batch_size=k, num_threads=self.config.n_cpu
         )
         psnr_sum = ssim_sum = 0.0
         num = 0
         gp = self._g_params()
+        pending = deque()
+
+        def _drain_one():
+            nonlocal psnr_sum, ssim_sum, num
+            pv, sv = pending.popleft()
+            for p_i, s_i in zip(np.asarray(pv), np.asarray(sv)):
+                psnr_sum += float(p_i)
+                ssim_sum += float(s_i)
+                num += 1
+
         for batch in loader:
             a, b = self._val_pairs(batch)
-            psnr_v, ssim_v = self._val_step(gp, jnp.asarray(a), jnp.asarray(b))
-            psnr_sum += float(psnr_v)
-            ssim_sum += float(ssim_v)
-            num += 1
+            pending.append(self._val_step(gp, jnp.asarray(a), jnp.asarray(b)))
+            if len(pending) > 256:  # bound in-flight device memory
+                _drain_one()
+        while pending:
+            _drain_one()
         if num == 0:
             return 0.0, 0.0
         return psnr_sum / num, ssim_sum / num
@@ -463,8 +500,9 @@ class TrainerBase:
             found = find_latest_checkpoint(cfg.save_root, self.ckpt_prefix)
             if found:
                 self.load_generator(found[0])
+        k = max(1, int(cfg.eval_batch))
         loader = PrefetchLoader(
-            self.test_dataset, batch_size=1, num_threads=cfg.n_cpu
+            self.test_dataset, batch_size=k, num_threads=cfg.n_cpu
         )
         writeback = (
             DicomWriteback(cfg.image_save)
@@ -478,27 +516,71 @@ class TrainerBase:
         gp = self._g_params()
         from ctagan_tpu.data.dicom import read_dicom as _rd
 
-        for batch in loader:
-            a, b = self._val_pairs(batch)
-            a_path = batch["A_path"][0]
+        def _se1_window(a_path):
             ds1 = _rd(a_path.replace("SE0", "SE1"))
-            wc = ds1.window_center or 50.0
-            ww = ds1.window_width or 400.0
-            if lpips_fn is None:
-                fake_dev, metrics_dev = self._test_step(
-                    gp, jnp.asarray(a), jnp.asarray(b),
-                    jnp.float32(wc), jnp.float32(ww),
-                )
-                fake = np.asarray(fake_dev)
-                rows.append(
-                    {k: float(v) for k, v in jax.device_get(metrics_dev).items()}
-                )
-            else:  # LPIPS path keeps the modular evaluator
-                fake = np.asarray(self._gen_fwd(gp, jnp.asarray(a)))[0, :, :, 0]
-                real = np.asarray(b)[0, :, :, 0]
-                rows.append(evaluate_pair(fake, real, wc, ww, lpips_fn=lpips_fn))
-            if writeback is not None:
-                writeback.write(a_path, fake)
+            return ds1.window_center or 50.0, ds1.window_width or 400.0
+
+        # SE1 header reads overlap with device compute: prefetched across
+        # the whole test list by a thread pool instead of one blocking
+        # host read per slice in the hot loop (HdTrainer.py:437-446)
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        files = list(getattr(self.test_dataset, "files_a", []))
+        with ThreadPoolExecutor(max(1, cfg.n_cpu)) as pool:
+            hdr_futures = {p: pool.submit(_se1_window, p) for p in files}
+
+            pending = deque()  # (paths, fake_dev, metrics_dev) in order
+
+            def _drain_one():
+                paths, fake_dev, metrics_dev = pending.popleft()
+                fake_np = np.asarray(fake_dev)
+                metrics_np = jax.device_get(metrics_dev)
+                for j, pth in enumerate(paths):
+                    rows.append(
+                        {mk: float(mv[j]) for mk, mv in metrics_np.items()}
+                    )
+                    if writeback is not None:
+                        writeback.write(pth, fake_np[j])
+
+            for batch in loader:
+                a, b = self._val_pairs(batch)
+                paths = batch["A_path"]
+                wcww = [
+                    hdr_futures[p].result()
+                    if p in hdr_futures
+                    else _se1_window(p)
+                    for p in paths
+                ]
+                if lpips_fn is None:
+                    wc = jnp.asarray([x[0] for x in wcww], jnp.float32)
+                    ww = jnp.asarray([x[1] for x in wcww], jnp.float32)
+                    pending.append(
+                        (
+                            paths,
+                            *self._test_step(
+                                gp, jnp.asarray(a), jnp.asarray(b), wc, ww
+                            ),
+                        )
+                    )
+                    if len(pending) > 16:  # bound in-flight device memory
+                        _drain_one()
+                else:  # LPIPS path keeps the modular per-slice evaluator
+                    fakes = np.asarray(self._gen_fwd(gp, jnp.asarray(a)))
+                    reals = np.asarray(b)
+                    for j, pth in enumerate(paths):
+                        wc_j, ww_j = wcww[j]
+                        fake = fakes[j, :, :, 0]
+                        rows.append(
+                            evaluate_pair(
+                                fake, reals[j, :, :, 0], wc_j, ww_j,
+                                lpips_fn=lpips_fn,
+                            )
+                        )
+                        if writeback is not None:
+                            writeback.write(pth, fake)
+            while pending:
+                _drain_one()
         agg = aggregate(rows)
         if not self.quiet:
             for k in ("MAEw", "PSNRw", "SSIMw", "UQIw"):
@@ -821,8 +903,8 @@ class P3dTrainer(TrainerBase):
         return step
 
     @staticmethod
-    def _eval_slice(x):
-        return x[0, x.shape[1] // 2, :, :, 0]  # center depth slice
+    def _eval_slices(x):
+        return x[:, x.shape[1] // 2, :, :, 0]  # center depth slice
 
     def _make_train_dataset(self, rng):
         from ctagan_tpu.data.volumes import VolumePatchDataset

@@ -78,7 +78,13 @@ class Config:
     fused_body: bool = False  # inference paths (val/test/figures/serving)
     # run the generator body through the fused conv+IN Pallas kernel
     # (+8.6% fwd at 512² b=32 on v5e; single-ulp bf16 differences)
+    fused_body_grad: bool = False  # TRAINING path: fused body with custom
+    # VJP Pallas backward kernels (grad parity locked by tests); single-ulp
+    # bf16 forward differences vs the op-by-op XLA body
     ema_decay: float = 0.0  # >0: keep an EMA of G params, used for eval
+    eval_batch: int = 1  # slices per val/test device call; 1 = bit-exact
+    # reference per-slice arithmetic, >1 batches the forward+metrics
+    # (per-sample metrics via vmap; faster on the tunnel-latency floor)
     patch_depth: int = 8  # 3-D family (P3d): slices per depth window
     depth_downsample: int = 1  # P3d: depth reduction in the generator body
     # (1 = anisotropic default, full-depth body; 2/4 for thin-slice series)
