@@ -73,6 +73,23 @@ def test_p2p_end_to_end(tmp_path, corpus):
     assert ds.pixel_array().shape == (64, 64)
 
 
+def test_eval_batch_matches_per_slice(tmp_path, corpus):
+    """eval_batch > 1 (vmap'd per-sample metrics, one device call per K
+    slices) must reproduce the per-slice protocol's numbers."""
+    cfg = _config(tmp_path, corpus, name="P2p", size=64)
+    t = P2pTrainer(cfg, quiet=True)
+    t.train(max_steps_per_epoch=1)
+    v1 = t.validate()
+    a1 = t.test(write_dicom=False)
+    t.config.eval_batch = 3  # uneven tail exercises the partial batch
+    v2 = t.validate()
+    a2 = t.test(write_dicom=False)
+    np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-6)
+    assert set(a1) == set(a2)
+    for k in a1:
+        np.testing.assert_allclose(a1[k], a2[k], rtol=1e-4, atol=1e-5)
+
+
 def test_p2p_lr_decay_accelerating_quirk(tmp_path, corpus):
     cfg = _config(tmp_path, corpus, name="P2p", n_epochs=0, decay_epoch=4)
     t = P2pTrainer(cfg, quiet=True)
