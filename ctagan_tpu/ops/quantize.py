@@ -36,6 +36,10 @@ from ctagan_tpu.models.layers import instance_norm, reflect_pad
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
+# route the residual body through the fused s8 Pallas chain (A/B switch;
+# the XLA s8 loop stays as the fallback and the parity oracle)
+FUSED_S8_BODY = True
+
 
 # ---------------------------------------------------------------------------
 # Quantizers
@@ -164,12 +168,28 @@ def generator_int8_forward(qp, x):
     for c in qp["down"]:
         h = _conv_i8(h, c, stride=2, padding=(1, 1))
         h = jax.nn.relu(instance_norm(h))
-    # residual body
-    for c1, c2 in qp["res"]:
-        r = _conv_i8(reflect_pad(h, 1), c1)
-        r = jax.nn.relu(instance_norm(r))
-        r = _conv_i8(reflect_pad(r, 1), c2)
-        h = h + instance_norm(r)
+    # residual body: fused s8 Pallas chain when shapes allow (2x MXU peak;
+    # see ops/fused_s8.py), else the XLA s8 loop
+    from ctagan_tpu.ops.fused_s8 import fused_residual_chain_s8, s8_chain_ok
+
+    if (
+        FUSED_S8_BODY
+        and qp["res"]
+        and s8_chain_ok(h.shape)
+        and qp["res"][0][0]["q"].dtype == jnp.int8  # not exact-mode f32
+    ):
+        qb = [
+            (c1["q"], c1["scale"], jnp.ravel(c1["bias"]),
+             c2["q"], c2["scale"], jnp.ravel(c2["bias"]))
+            for c1, c2 in qp["res"]
+        ]
+        h = fused_residual_chain_s8(h, qb)
+    else:
+        for c1, c2 in qp["res"]:
+            r = _conv_i8(reflect_pad(h, 1), c1)
+            r = jax.nn.relu(instance_norm(r))
+            r = _conv_i8(reflect_pad(r, 1), c2)
+            h = h + instance_norm(r)
     # upsampling: ConvTranspose(k3,s2,p1,op1) == input-dilated conv with
     # asymmetric padding (1, 2) and the flipped/transposed kernel
     for c in qp["up"]:
