@@ -5,11 +5,13 @@ weights + per-tensor dynamic int8 activations, convolutions accumulating in
 int32. The first (7×7 head) and last (7×7 tanh) convs stay in float32: they
 carry the HU dynamic range and are <2% of the FLOPs.
 
-Measured on v5e (512², pipelined): int8 is 0.58-0.64× the bf16 throughput —
-XLA's s8 conv lowering plus the dynamic-quant chains cost more than the MXU
-saves at these shapes. Use this mode for its 3.7× weight-memory reduction
-(many models resident per chip / HBM-constrained serving), not for speed;
-a Pallas s8 conv kernel is the known lever if throughput int8 is wanted.
+Measured on v5e (512², pipelined): int8 is 0.58-0.64× the bf16 throughput
+through XLA's s8 lowering; the r2 Pallas fused-s8 body (ops/fused_s8.py,
+engaged automatically when shapes allow) lifts that to 0.75× (207.7 vs
+278.3 sl/s at b=32, docs/evidence/bench_s8_eval_r2.log) — better, but s8
+matmul + in-kernel (de)quant still doesn't beat the bf16 chain at these
+shapes. Use this mode for its 3.7× weight-memory reduction (many models
+resident per chip / HBM-constrained serving), not for speed.
 
 The reference has no quantized/serving story at all (inference = rerunning
 train.py's test(), HdTrainer.py:428-564); this is a new TPU-native serving
