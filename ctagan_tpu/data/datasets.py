@@ -89,6 +89,7 @@ class PairedSliceDataset:
         size: Optional[int] = None,
         context_slices: int = 1,
         seed: int = 0,
+        raw_feed: bool = False,
     ):
         files_a = _read_list(list_file)
         if sort:
@@ -98,6 +99,9 @@ class PairedSliceDataset:
         self.unaligned = unaligned
         self.size = size
         self.seed = seed
+        # raw_feed: yield the STORED uint16 pixels; normalization happens on
+        # device (ops/windowing.py, bit-matched) — halves host->device bytes
+        self.raw_feed = raw_feed
         # per-index access counters for the unaligned B-draws: each visit to
         # an index gets a fresh but REPRODUCIBLE key (seed, index, count) —
         # deterministic under any loader thread interleaving because the
@@ -124,7 +128,10 @@ class PairedSliceDataset:
         return len(self.files_a)
 
     def _load(self, path: str) -> np.ndarray:
-        img = read_fullrange_slice(path)
+        if self.raw_feed:
+            img = read_dicom(path).pixel_array()
+        else:
+            img = read_fullrange_slice(path)
         if self.size:
             img = _resize_nearest_np(img, self.size)
         return img[..., None]
@@ -176,12 +183,17 @@ class DualWindowDataset:
         sort: bool = True,
         rng: Optional[np.random.Generator] = None,
         size: Optional[int] = None,
+        raw_feed: bool = False,
     ):
         self.list_file = list_file
         self.base = _read_list(list_file)
         self.oversample = oversample
         self.sort = sort
         self.size = size
+        # raw_feed: ONE uint16 slice per side instead of four f32 views —
+        # the dual-window views are derived on device (ops/windowing.py),
+        # cutting the HD feed bytes 6x (2 x u16 vs 4 x f32)
+        self.raw_feed = raw_feed
         self.files_a: List[str] = []
         self.files_b: List[str] = []
         self.resample(rng or np.random.default_rng())
@@ -211,6 +223,13 @@ class DualWindowDataset:
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         a_path = self.files_a[index % len(self.files_a)]
         b_path = self.files_b[index % len(self.files_b)]
+        if self.raw_feed:
+            a = read_dicom(a_path).pixel_array()
+            b = read_dicom(b_path).pixel_array()
+            if self.size:
+                a = _resize_nearest_np(a, self.size)
+                b = _resize_nearest_np(b, self.size)
+            return {"A": a[..., None], "B": b[..., None], "A_path": a_path}
         a1, a2 = read_dual_window_slice(a_path)
         b1, b2 = read_dual_window_slice(b_path)
         if self.size:

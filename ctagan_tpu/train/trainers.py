@@ -82,6 +82,7 @@ class TrainerBase:
         self.start_epoch = int(config.epoch)
         self._current_epoch = self.start_epoch
         self.key = jax.random.PRNGKey(config.seed)
+        self._dev_window_fn = None  # lazy jitted on-device windowing
         self.g_model = self._build_generator()
         # inference-path generator: identical params; optionally routed
         # through the fused conv+IN Pallas body (config fused_body — no
@@ -98,6 +99,7 @@ class TrainerBase:
             # Returns per-sample (N,) vectors; the N==1 branch keeps the
             # exact unbatched arithmetic (identical HLO to the per-slice
             # path) so the default eval_batch=1 stays bit-identical.
+            a, b = self._eval_input(a), self._eval_input(b)
             fake = self.g_eval.apply(params, a)
             fb = self._eval_slices(fake).astype(jnp.float32)
             rb = self._eval_slices(b).astype(jnp.float32)
@@ -110,6 +112,14 @@ class TrainerBase:
 
         self._val_step = jax.jit(_val_step)
 
+        # metrics come back as ONE (len(keys), N) matrix — a dict of (N,)
+        # scalars would cost one ~29 ms tunnel round-trip PER ARRAY to pull
+        # (docs/evidence/bench_eval_diag_r2.log: the metric math itself is
+        # 3.8 ms; the pulls were the eval wall)
+        self._metric_keys = (
+            "MAEw", "PSNRw", "SSIMw", "UQIw", "MAE", "PSNR", "SSIM", "UQI"
+        )
+
         def _test_step(params, a, b, wc, ww):
             # G forward + the full 8-metric window/raw suite in ONE call;
             # the synthetic slices come back for DICOM writeback.
@@ -117,13 +127,17 @@ class TrainerBase:
             # SE1 header window). N==1 keeps the exact unbatched arithmetic.
             from ctagan_tpu.train.evaluation import _metric_suite
 
+            a, b = self._eval_input(a), self._eval_input(b)
             fake = self.g_eval.apply(params, a)
             fb = self._eval_slices(fake).astype(jnp.float32)
             rb = self._eval_slices(b).astype(jnp.float32)
             if fb.shape[0] == 1:
                 m = _metric_suite(fb[0], rb[0], wc[0], ww[0])
-                return fb, {k: v[None] for k, v in m.items()}
-            return fb, jax.vmap(_metric_suite)(fb, rb, wc, ww)
+                mat = jnp.stack([m[k] for k in self._metric_keys])[:, None]
+            else:
+                m = jax.vmap(_metric_suite)(fb, rb, wc, ww)
+                mat = jnp.stack([m[k] for k in self._metric_keys])
+            return fb, mat
 
         self._test_step = jax.jit(_test_step)
         self._build_datasets()
@@ -193,6 +207,7 @@ class TrainerBase:
                 oversample=True,
                 rng=rng,
                 size=self.config.size,
+                raw_feed=self.config.device_windowing,
             )
         return PairedSliceDataset(
             self.config.train_list,
@@ -200,15 +215,21 @@ class TrainerBase:
             unaligned=self.config.unaligned,
             context_slices=self.config.context_slices,
             seed=self.config.seed,
+            raw_feed=self.config.device_windowing,
         )
 
     def _make_eval_dataset(self, list_file):
         if self.dual_window:
-            return DualWindowDataset(list_file, size=self.config.size)
+            return DualWindowDataset(
+                list_file,
+                size=self.config.size,
+                raw_feed=self.config.device_windowing,
+            )
         return PairedSliceDataset(
             list_file,
             size=self.config.size,
             context_slices=self.config.context_slices,
+            raw_feed=self.config.device_windowing,
         )
 
     def _build_datasets(self):
@@ -333,7 +354,52 @@ class TrainerBase:
         # pad to the per-process feed size (== global batch when single-host)
         n_local = max(1, self.n_devices // max(1, jax.process_count()))
         batch, _ = pad_batch_to(batch, self.config.batchSize * n_local)
-        return shard_batch(self.mesh, batch)
+        db = shard_batch(self.mesh, batch)
+        return self._window_device_batch(db)
+
+    def _window_device_batch(self, db):
+        """device_windowing: the host uploaded raw uint16 stored pixels —
+        derive the normalized views on device (bit-matched to the host
+        codec, ops/windowing.py; locked by test). 2 x u16 per pair instead
+        of 4 x f32 (dual-window) / 2 x f32 — the host->device link is the
+        training-feed bottleneck on tunneled chips (95 ms/MB measured,
+        docs/evidence/bench_eval_diag_r2.log)."""
+        if not (
+            self.config.device_windowing
+            and "A" in db
+            and jnp.issubdtype(db["A"].dtype, jnp.integer)
+        ):
+            return db
+        from ctagan_tpu.ops.windowing import (
+            dual_window_from_stored,
+            fullrange_from_stored,
+        )
+
+        if self.dual_window:
+            if self._dev_window_fn is None:
+
+                @jax.jit
+                def _dw(a, b):
+                    a1, a2 = dual_window_from_stored(a)
+                    b1, b2 = dual_window_from_stored(b)
+                    return {"A1": a1, "A2": a2, "B1": b1, "B2": b2}
+
+                self._dev_window_fn = _dw
+            out = self._dev_window_fn(db["A"], db["B"])
+        else:
+            if self._dev_window_fn is None:
+
+                @jax.jit
+                def _fr(a, b):
+                    return {
+                        "A": fullrange_from_stored(a),
+                        "B": fullrange_from_stored(b),
+                    }
+
+                self._dev_window_fn = _fr
+            out = self._dev_window_fn(db["A"], db["B"])
+        out.update({k: v for k, v in db.items() if k.endswith("_path")})
+        return out
 
     def train(self, max_steps_per_epoch: Optional[int] = None):
         cfg = self.config
@@ -422,9 +488,23 @@ class TrainerBase:
         return self
 
     def _val_pairs(self, batch):
-        if self.dual_window:
+        if self.dual_window and "A2" in batch:
             return batch["A2"], batch["B2"]
+        # raw_feed mode yields A/B raw uint16 for BOTH families (the eval
+        # pair is the full-range view in both); normalization happens on
+        # device inside the jitted eval steps
         return batch["A"], batch["B"]
+
+    @staticmethod
+    def _eval_input(x):
+        """Normalize a (possibly raw uint16) eval tensor on device —
+        identity for float inputs."""
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            from ctagan_tpu.ops.windowing import fullrange_from_stored
+
+            return fullrange_from_stored(x)
+        return x
 
     def validate(self):
         """Mean masked PSNR/SSIM over the val list (HdTrainer.py:230-281).
@@ -447,10 +527,18 @@ class TrainerBase:
         gp = self._g_params()
         pending = deque()
 
-        def _drain_one():
+        def _drain_all():
+            # ONE device concatenate + ONE host pull for the whole queue:
+            # per-batch float() pulls cost a ~29 ms tunnel round-trip each
+            # (bench_eval_diag_r2.log). Per-sample values identical; the
+            # mean is still summed host-side in slice order.
             nonlocal psnr_sum, ssim_sum, num
-            pv, sv = pending.popleft()
-            for p_i, s_i in zip(np.asarray(pv), np.asarray(sv)):
+            if not pending:
+                return
+            ps = np.asarray(jnp.concatenate([p for p, _ in pending]))
+            ss = np.asarray(jnp.concatenate([s for _, s in pending]))
+            pending.clear()
+            for p_i, s_i in zip(ps, ss):
                 psnr_sum += float(p_i)
                 ssim_sum += float(s_i)
                 num += 1
@@ -459,9 +547,8 @@ class TrainerBase:
             a, b = self._val_pairs(batch)
             pending.append(self._val_step(gp, jnp.asarray(a), jnp.asarray(b)))
             if len(pending) > 256:  # bound in-flight device memory
-                _drain_one()
-        while pending:
-            _drain_one()
+                _drain_all()
+        _drain_all()
         if num == 0:
             return 0.0, 0.0
         return psnr_sum / num, ssim_sum / num
@@ -481,13 +568,14 @@ class TrainerBase:
             if i >= limit:
                 break
             a, b = self._val_pairs(batch)
-            fake = np.asarray(self._gen_fwd(gp, jnp.asarray(a)))[0, :, :, 0]
+            a_n, b_n = self._eval_input(a), self._eval_input(b)
+            fake = np.asarray(self._gen_fwd(gp, a_n))[0, :, :, 0]
             # with 2.5-D context the CENTER channel is the input slice
-            a_center = np.asarray(a)[0, :, :, a.shape[-1] // 2]
+            a_center = np.asarray(a_n)[0, :, :, a.shape[-1] // 2]
             save_qualitative_panel(
                 out_dir,
                 f"slice{i}",
-                [a_center, np.asarray(b)[0, :, :, 0], fake],
+                [a_center, np.asarray(b_n)[0, :, :, 0], fake],
                 zoom_center=(size // 2, size // 2),
             )
         return out_dir
@@ -530,17 +618,19 @@ class TrainerBase:
         with ThreadPoolExecutor(max(1, cfg.n_cpu)) as pool:
             hdr_futures = {p: pool.submit(_se1_window, p) for p in files}
 
-            pending = deque()  # (paths, fake_dev, metrics_dev) in order
+            pending = deque()  # (paths, fake_dev, metric_mat_dev) in order
+            mats = []  # device-side (K, N) metric matrices; pulled ONCE
+            all_paths = []
 
             def _drain_one():
-                paths, fake_dev, metrics_dev = pending.popleft()
-                fake_np = np.asarray(fake_dev)
-                metrics_np = jax.device_get(metrics_dev)
-                for j, pth in enumerate(paths):
-                    rows.append(
-                        {mk: float(mv[j]) for mk, mv in metrics_np.items()}
-                    )
-                    if writeback is not None:
+                # pull only what the writeback needs per batch (one image
+                # transfer); metric matrices stay on device until the end
+                paths, fake_dev, mat_dev = pending.popleft()
+                mats.append(mat_dev)
+                all_paths.extend(paths)
+                if writeback is not None:
+                    fake_np = np.asarray(fake_dev)
+                    for j, pth in enumerate(paths):
                         writeback.write(pth, fake_np[j])
 
             for batch in loader:
@@ -566,8 +656,9 @@ class TrainerBase:
                     if len(pending) > 16:  # bound in-flight device memory
                         _drain_one()
                 else:  # LPIPS path keeps the modular per-slice evaluator
-                    fakes = np.asarray(self._gen_fwd(gp, jnp.asarray(a)))
-                    reals = np.asarray(b)
+                    a_n = self._eval_input(a)
+                    fakes = np.asarray(self._gen_fwd(gp, a_n))
+                    reals = np.asarray(self._eval_input(b))
                     for j, pth in enumerate(paths):
                         wc_j, ww_j = wcww[j]
                         fake = fakes[j, :, :, 0]
@@ -581,6 +672,16 @@ class TrainerBase:
                             writeback.write(pth, fake)
             while pending:
                 _drain_one()
+            if mats:
+                # one concatenate + one pull for every metric of every slice
+                full = np.asarray(jnp.concatenate(mats, axis=1))
+                for j in range(full.shape[1]):
+                    rows.append(
+                        {
+                            mk: float(full[i, j])
+                            for i, mk in enumerate(self._metric_keys)
+                        }
+                    )
         agg = aggregate(rows)
         if not self.quiet:
             for k in ("MAEw", "PSNRw", "SSIMw", "UQIw"):

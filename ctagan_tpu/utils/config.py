@@ -82,6 +82,10 @@ class Config:
     # VJP Pallas backward kernels (grad parity locked by tests); single-ulp
     # bf16 forward differences vs the op-by-op XLA body
     ema_decay: float = 0.0  # >0: keep an EMA of G params, used for eval
+    device_windowing: bool = True  # feed raw uint16 pixels and derive the
+    # windowed/full-range views ON DEVICE (ops/windowing.py, bit-matched to
+    # the host codec) — 2-6x fewer host->device bytes; False = host-side
+    # normalization (round-1 behavior)
     eval_batch: int = 1  # slices per val/test device call; 1 = bit-exact
     # reference per-slice arithmetic, >1 batches the forward+metrics
     # (per-sample metrics via vmap; faster on the tunnel-latency floor)

@@ -32,10 +32,10 @@ void dual_window_u16(const uint16_t* raw, int64_t n, float wc, float ww,
     v = v < -1e9f ? -1e9f : (v > 1e9f ? 1e9f : v);
     float w = static_cast<float>(static_cast<int32_t>(v));
     w = w < 0.0f ? 0.0f : (w > 255.0f ? 255.0f : w);
-    out_win[i] = (w * (1.0f / 255.0f) - 0.5f) * 2.0f;
+    out_win[i] = (w / 255.0f - 0.5f) * 2.0f;
     float f = static_cast<float>(raw[i]);
     f = f < 0.0f ? 0.0f : f;
-    out_full[i] = (f * (1.0f / 4095.0f) - 0.5f) * 2.0f;
+    out_full[i] = (f / 4095.0f - 0.5f) * 2.0f;
   }
 }
 
@@ -51,10 +51,10 @@ void dual_window_i16(const int16_t* raw, int64_t n, float wc, float ww,
     v = v < -1e9f ? -1e9f : (v > 1e9f ? 1e9f : v);
     float w = static_cast<float>(static_cast<int32_t>(v));
     w = w < 0.0f ? 0.0f : (w > 255.0f ? 255.0f : w);
-    out_win[i] = (w * (1.0f / 255.0f) - 0.5f) * 2.0f;
+    out_win[i] = (w / 255.0f - 0.5f) * 2.0f;
     float f = static_cast<float>(raw[i]);
     f = f < 0.0f ? 0.0f : f;
-    out_full[i] = (f * (1.0f / 4095.0f) - 0.5f) * 2.0f;
+    out_full[i] = (f / 4095.0f - 0.5f) * 2.0f;
   }
 }
 

@@ -73,6 +73,51 @@ def test_p2p_end_to_end(tmp_path, corpus):
     assert ds.pixel_array().shape == (64, 64)
 
 
+def test_device_windowing_bit_exact(corpus):
+    """raw-uint16 feed + on-device windowing must reproduce the host-side
+    normalized views bit-for-bit (both families)."""
+    from ctagan_tpu.data.datasets import DualWindowDataset, PairedSliceDataset
+    from ctagan_tpu.ops.windowing import (
+        dual_window_from_stored,
+        fullrange_from_stored,
+    )
+
+    lists = corpus
+    dsr = DualWindowDataset(lists["train"], raw_feed=True)
+    dsh = DualWindowDataset(lists["train"])
+    ir, ih = dsr[0], dsh[0]
+    a1, a2 = jax.jit(dual_window_from_stored)(ir["A"])
+    b1, b2 = jax.jit(dual_window_from_stored)(ir["B"])
+    np.testing.assert_array_equal(np.asarray(a1), ih["A1"])
+    np.testing.assert_array_equal(np.asarray(a2), ih["A2"])
+    np.testing.assert_array_equal(np.asarray(b1), ih["B1"])
+    np.testing.assert_array_equal(np.asarray(b2), ih["B2"])
+
+    psr = PairedSliceDataset(lists["train"], raw_feed=True)
+    psh = PairedSliceDataset(lists["train"])
+    jr, jh = psr[0], psh[0]
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(fullrange_from_stored)(jr["A"])), jh["A"]
+    )
+
+
+def test_device_windowing_trainer_equivalence(tmp_path, corpus):
+    """Training + eval with device_windowing on vs off: identical params
+    (same seed) and identical validate() numbers."""
+    def run(dw, tag):
+        cfg = _config(tmp_path, corpus, name="P2p", size=64,
+                      device_windowing=dw,
+                      save_root=str(tmp_path / f"dw{tag}") + "/")
+        t = P2pTrainer(cfg, quiet=True)
+        t.train(max_steps_per_epoch=2)
+        return jax.device_get(t.state.g_params), t.validate()
+
+    (g1, v1), (g2, v2) = run(True, "on"), run(False, "off")
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+
+
 def test_eval_batch_matches_per_slice(tmp_path, corpus):
     """eval_batch > 1 (vmap'd per-sample metrics, one device call per K
     slices) must reproduce the per-slice protocol's numbers."""
