@@ -140,8 +140,15 @@ class DicomWriteback:
         name = a_path.split("SE0/")[-1] if "SE0/" in a_path else os.path.basename(a_path)
         b_path = a_path.replace("SE0", "SE1")
         ds = read_dicom(b_path)
-        # de-normalize [-1,1] -> stored values (HdTrainer.py:539)
-        newimg = (np.asarray(fake_b) + 1.0) * 0.5 * 4095.0
+        fake_b = np.asarray(fake_b)
+        if np.issubdtype(fake_b.dtype, np.integer):
+            # already de-normalized to stored values ON DEVICE
+            # (trainers._test_step) — same (x+1)*0.5*4095 f32 arithmetic
+            # and truncating int cast as below
+            newimg = fake_b
+        else:
+            # de-normalize [-1,1] -> stored values (HdTrainer.py:539)
+            newimg = (fake_b + 1.0) * 0.5 * 4095.0
         ds.set_pixel_data(newimg)
         ds.series_instance_uid = self.series_uid
         shutil.copy(a_path, os.path.join(self.out0, name))

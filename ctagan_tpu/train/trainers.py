@@ -137,7 +137,12 @@ class TrainerBase:
             else:
                 m = jax.vmap(_metric_suite)(fb, rb, wc, ww)
                 mat = jnp.stack([m[k] for k in self._metric_keys])
-            return fb, mat
+            # de-normalize to STORED int16 on device (HdTrainer.py:539-549):
+            # the DICOM writeback then pulls 2 B/px instead of 4 (the
+            # device->host image transfer was the test() wall — ~200 ms/MB
+            # through the tunnel, docs/evidence/bench_eval3_r2.log)
+            stored = ((fb + 1.0) * 0.5 * 4095.0).astype(jnp.int16)
+            return stored, mat
 
         self._test_step = jax.jit(_test_step)
         self._build_datasets()
@@ -621,17 +626,28 @@ class TrainerBase:
             pending = deque()  # (paths, fake_dev, metric_mat_dev) in order
             mats = []  # device-side (K, N) metric matrices; pulled ONCE
             all_paths = []
+            # ONE dedicated writer thread: image pulls + DICOM emission
+            # overlap device compute, and a single worker preserves the
+            # submission order DicomWriteback's stateful patient/series
+            # numbering requires
+            writer = ThreadPoolExecutor(1) if writeback is not None else None
+            writer_futures = []
+
+            def _write_batch(paths, fake_dev):
+                fake_np = np.asarray(fake_dev)  # int16 stored pixels
+                for j, pth in enumerate(paths):
+                    writeback.write(pth, fake_np[j])
 
             def _drain_one():
-                # pull only what the writeback needs per batch (one image
-                # transfer); metric matrices stay on device until the end
+                # metric matrices stay on device until the end; the image
+                # pull + writeback run on the writer thread
                 paths, fake_dev, mat_dev = pending.popleft()
                 mats.append(mat_dev)
                 all_paths.extend(paths)
-                if writeback is not None:
-                    fake_np = np.asarray(fake_dev)
-                    for j, pth in enumerate(paths):
-                        writeback.write(pth, fake_np[j])
+                if writer is not None:
+                    writer_futures.append(
+                        writer.submit(_write_batch, paths, fake_dev)
+                    )
 
             for batch in loader:
                 a, b = self._val_pairs(batch)
@@ -672,6 +688,10 @@ class TrainerBase:
                             writeback.write(pth, fake)
             while pending:
                 _drain_one()
+            if writer is not None:
+                for f in writer_futures:
+                    f.result()  # propagate writeback errors
+                writer.shutdown()
             if mats:
                 # one concatenate + one pull for every metric of every slice
                 full = np.asarray(jnp.concatenate(mats, axis=1))

@@ -118,6 +118,23 @@ def test_device_windowing_trainer_equivalence(tmp_path, corpus):
     np.testing.assert_allclose(v1, v2, rtol=1e-6)
 
 
+def test_device_denorm_matches_host():
+    """The on-device stored-pixel de-normalization in _test_step must match
+    the host writeback arithmetic ((x+1)*0.5*4095, truncating int16 cast —
+    HdTrainer.py:539-549) on generator-range inputs."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (4, 64, 64)).astype(np.float32)
+    # include exact boundary / near-integer cases
+    x[0, 0, :8] = [-1.0, 1.0, 0.0, -0.5, 0.5, 1.0 - 2**-12, -1.0 + 2**-12, 0.25]
+    host = ((x + 1.0) * 0.5 * 4095.0).astype(np.int16)
+    dev = np.asarray(
+        jax.jit(lambda f: ((f + 1.0) * 0.5 * 4095.0).astype(jnp.int16))(x)
+    )
+    np.testing.assert_array_equal(dev, host)
+
+
 def test_eval_batch_matches_per_slice(tmp_path, corpus):
     """eval_batch > 1 (vmap'd per-sample metrics, one device call per K
     slices) must reproduce the per-slice protocol's numbers."""
