@@ -500,6 +500,24 @@ class TrainerBase:
         # device inside the jitted eval steps
         return batch["A"], batch["B"]
 
+    def _eval_put(self, x):
+        """Place an eval batch on the mesh: sharded over the data axis when
+        the batch divides the device count (DP eval — the per-sample metric
+        suite partitions trivially over the batch dim), else the default
+        single-device placement. Single-process only: multi-host eval keeps
+        each host's full loop for the host-0 aggregate print."""
+        x = np.asarray(x)
+        if (
+            self.n_devices > 1
+            and jax.process_count() == 1
+            and x.ndim >= 1
+            and x.shape[0] % self.n_devices == 0
+        ):
+            from ctagan_tpu.parallel.mesh import batch_sharding
+
+            return jax.device_put(x, batch_sharding(self.mesh))
+        return jnp.asarray(x)
+
     @staticmethod
     def _eval_input(x):
         """Normalize a (possibly raw uint16) eval tensor on device —
@@ -550,7 +568,9 @@ class TrainerBase:
 
         for batch in loader:
             a, b = self._val_pairs(batch)
-            pending.append(self._val_step(gp, jnp.asarray(a), jnp.asarray(b)))
+            pending.append(
+                self._val_step(gp, self._eval_put(a), self._eval_put(b))
+            )
             if len(pending) > 256:  # bound in-flight device memory
                 _drain_all()
         _drain_all()
@@ -665,7 +685,8 @@ class TrainerBase:
                         (
                             paths,
                             *self._test_step(
-                                gp, jnp.asarray(a), jnp.asarray(b), wc, ww
+                                gp, self._eval_put(a), self._eval_put(b),
+                                wc, ww,
                             ),
                         )
                     )

@@ -100,6 +100,10 @@ class Config:
     generator_ckpt: str = ""  # explicit checkpoint for test()
     stage1_ckpt: str = ""  # HD stage-2 bootstrap (netG/R from stage 1)
     lpips_weights: str = ""  # torch LPIPS(alex) weights; metric gated if empty
+    compile_cache_dir: str = "~/.cache/ctagan_tpu/jax"  # persistent XLA
+    # compilation cache (cold jit of the eval/train graphs measured
+    # 160-340 s through the tunnel — pay it once per MACHINE, not per
+    # process); "" disables
 
     extras: Dict[str, Any] = field(default_factory=dict)
 
@@ -129,6 +133,32 @@ class Config:
         if self.patch_depth % self.depth_downsample != 0:
             raise ValueError("patch_depth must be divisible by depth_downsample")
         return self
+
+
+def enable_compile_cache(cache_dir: str) -> bool:
+    """Point JAX's persistent compilation cache at ``cache_dir`` (expanded).
+
+    Cold jit of the train/eval graphs costs 160-340 s through the TPU
+    tunnel (docs/evidence/bench_eval3_r2.log) — the persistent cache pays
+    that once per machine instead of once per process. Fail-safe: returns
+    False (and changes nothing) if the backend rejects the cache or the
+    directory cannot be created.
+    """
+    if not cache_dir:
+        return False
+    import os
+
+    try:
+        import jax
+
+        path = os.path.expanduser(cache_dir)
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache every compile that took >=2 s; tiny programs stay uncached
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        return True
+    except Exception:
+        return False
 
 
 def load_config(path_or_dict) -> Config:

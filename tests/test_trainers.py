@@ -235,6 +235,41 @@ def test_data_parallel_p2p_on_8_devices(tmp_path, corpus):
     _losses_finite(t)
 
 
+def test_data_parallel_eval_matches_single_device(tmp_path, tmp_path_factory):
+    """DP eval: when eval_batch divides the mesh, validate()/test() shard
+    the batch over the data axis (8 devices each score 1 slice) — numbers
+    must match the single-device eval path."""
+    root = tmp_path_factory.mktemp("dp_eval_corpus")
+    lists = make_corpus(str(root), n_patients=2, slices_per_patient=4, size=32)
+
+    def run(dp, tag):
+        cfg = _config(tmp_path, lists, name="P2p", size=64,
+                      data_parallel=dp, eval_batch=8,
+                      save_root=str(tmp_path / f"dp{tag}") + "/")
+        t = P2pTrainer(cfg, quiet=True)
+        if dp:
+            assert t.n_devices == 8  # the sharded _eval_put path engages
+        return t.validate(), t.test(write_dicom=False)
+
+    (v1, a1), (v8, a8) = run(False, "1"), run(True, "8")
+    np.testing.assert_allclose(v1, v8, rtol=1e-5, atol=1e-6)
+    for k in a1:
+        np.testing.assert_allclose(a1[k], a8[k], rtol=1e-4, atol=1e-5)
+
+
+def test_enable_compile_cache(tmp_path):
+    from ctagan_tpu.utils.config import enable_compile_cache
+
+    assert enable_compile_cache("") is False
+    cache = tmp_path / "jaxcache"
+    try:
+        assert enable_compile_cache(str(cache)) is True
+        assert cache.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+    finally:  # don't leak the cache dir into the rest of the session
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
 def test_build_trainer_dispatch(tmp_path, corpus):
     for name, cls in [("P2p", P2pTrainer), ("CycleGan", CycTrainer)]:
         cfg = _config(tmp_path, corpus, name=name)

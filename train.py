@@ -58,9 +58,12 @@ def main():
     opts = parser.parse_args()
 
     from ctagan_tpu.train import build_trainer
-    from ctagan_tpu.utils.config import load_config
+    from ctagan_tpu.utils.config import enable_compile_cache, load_config
 
     config = load_config(opts.config)
+    # Cold jit of the train/eval graphs costs 160-340 s through the TPU
+    # tunnel; the persistent cache pays it once per machine.
+    enable_compile_cache(config.compile_cache_dir)
     if opts.train_list:
         config.train_list = opts.train_list
     if opts.val_list:
