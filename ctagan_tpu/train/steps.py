@@ -493,18 +493,50 @@ def reg_train_step(
 
     fake2 = jax.lax.stop_gradient(g_model.apply(g_params, real_a))
 
+    # Opt-in R1 gradient penalty on D(real) (r1_gamma > 0): a standard GAN
+    # stabilizer (Mescheder et al. 2018, "Which Training Methods for GANs
+    # do Actually Converge?") targeting the stage-2 collapse observed at
+    # ~e14 (VERDICT r1 #5). gamma=0 keeps exact reference semantics.
+    r1_w = float(cfg.get("r1_gamma", 0.0))
+
     def d_loss_fn(dp):
         pf = d_model.apply(dp, fake2)
         pr = d_model.apply(dp, real_b)
         if stage2:
-            return (
+            base = (
                 adv_w
                 * (L.gan_loss_multiscale(pf, False) + L.gan_loss_multiscale(pr, True))
                 / 2.0
             )
-        return adv_w * L.mse(pf, _zeros(pf)) + adv_w * L.mse(pr, _ones(pr))
+        else:
+            base = adv_w * L.mse(pf, _zeros(pf)) + adv_w * L.mse(pr, _ones(pr))
+        if r1_w <= 0.0:
+            return base, jnp.zeros((), base.dtype)
 
-    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+        def _score(x):
+            out = d_model.apply(dp, x)
+            if stage2:
+                s = 0.0
+                for feats in out:
+                    s = s + jnp.mean(
+                        feats[-1].astype(jnp.float32),
+                        axis=tuple(range(1, feats[-1].ndim)),
+                    )
+            else:
+                s = jnp.mean(
+                    out.astype(jnp.float32), axis=tuple(range(1, out.ndim))
+                )
+            return jnp.sum(s)
+
+        gx = jax.grad(_score)(real_b).astype(jnp.float32)
+        r1 = 0.5 * r1_w * jnp.mean(
+            jnp.sum(jnp.square(gx), axis=tuple(range(1, gx.ndim)))
+        )
+        return base + r1.astype(base.dtype), r1
+
+    (d_loss, r1_loss), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+        state.d_params
+    )
     d_params, d_opt = _apply(tx, d_grads, state.d_opt, state.d_params, lr_d)
 
     g_ema = _ema_update(state.g_ema, g_params, cfg.get("ema_decay", 0.999),
@@ -513,5 +545,7 @@ def reg_train_step(
         g_params, r_params, d_params, g_opt, r_opt, d_opt, rng, g_ema
     )
     out = {"toal_loss": gr_loss, "loss_D_B": d_loss}
+    if r1_w > 0.0:
+        out["R1_loss"] = r1_loss
     out.update(aux)
     return new_state, out

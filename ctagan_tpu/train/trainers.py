@@ -852,6 +852,7 @@ class RegTrainer(TrainerBase):
             "Corr_lamda1": c.Corr_lamda1,
             "Corr_lamda2": c.Corr_lamda2,
             "FM_lamda": c.FM_lamda,
+            "r1_gamma": c.r1_gamma,
             "noise_level": c.noise_level,
             "warp_max_disp": c.warp_max_disp,
             "warp_impl": c.warp_impl,

@@ -35,6 +35,10 @@ class Config:
     Corr_lamda1: float = 20.0
     Corr_lamda2: float = 2.0
     FM_lamda: float = 0.0  # pix2pixHD feature matching (0 = reference behavior)
+    # R1 gradient penalty on D(real) — opt-in GAN stabilizer for the
+    # stage-2 fine-tune (observed collapse ~e14, VERDICT r1 #5); 0 keeps
+    # exact reference semantics. Typical value 0.1-1.0.
+    r1_gamma: float = 0.0
 
     # --- schedule ---
     epoch: int = 0  # starting epoch

@@ -440,3 +440,61 @@ def test_reggan_fused_up_option(tmp_path, corpus):
     t = RegTrainer(cfg, quiet=True)
     t.train(max_steps_per_epoch=1)
     _losses_finite(t)
+
+
+def test_r1_penalty_stabilizer(tmp_path, corpus):
+    """Opt-in R1 gradient penalty (config ``r1_gamma``, VERDICT r1 #5):
+    gamma=0 is exact reference semantics; gamma>0 only perturbs the D
+    update, and the logged R1 value matches the closed-form
+    gamma/2 * E[||dD(real)/dreal||^2] at the pre-step D params."""
+    import jax.numpy as jnp
+
+    k = jax.random.PRNGKey(3)
+    a = jax.random.uniform(k, (1, 128, 128, 1), minval=-1.0, maxval=1.0)
+    b = jnp.roll(a, 5, axis=1)
+    batch = {"A": a, "B": b}
+
+    cfg0 = _config(tmp_path, corpus, name="RegGan", size=128, noise_level=0)
+    cfg1 = _config(tmp_path, corpus, name="RegGan", size=128, noise_level=0,
+                   r1_gamma=0.5)
+    t0 = RegTrainer(cfg0, quiet=True)
+    t1 = RegTrainer(cfg1, quiet=True)
+    s0, out0 = t0._compile_step()(t0.state, batch, 1e-4, 1e-4)
+    s1, out1 = t1._compile_step()(t1.state, batch, 1e-4, 1e-4)
+    assert "R1_loss" not in out0 and "R1_loss" in out1
+    r1 = float(out1["R1_loss"])
+    assert np.isfinite(r1) and r1 > 0.0
+    # the G/R updates are untouched by the penalty...
+    for x, y in zip(jax.tree.leaves(s0.g_params), jax.tree.leaves(s1.g_params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # ...while the D update actually changes
+    diffs = [
+        float(np.max(np.abs(np.asarray(x) - np.asarray(y))))
+        for x, y in zip(jax.tree.leaves(s0.d_params), jax.tree.leaves(s1.d_params))
+    ]
+    assert max(diffs) > 0.0
+
+    # closed-form check (noise_level=0 -> the in-step affine is identity)
+    def score(x):
+        out = t1.d_model.apply(t1.state.d_params, x)
+        return jnp.sum(
+            jnp.mean(out.astype(jnp.float32), axis=tuple(range(1, out.ndim)))
+        )
+
+    gx = jax.grad(score)(b).astype(jnp.float32)
+    want = 0.5 * 0.5 * float(jnp.mean(jnp.sum(jnp.square(gx), axis=(1, 2, 3))))
+    assert abs(r1 - want) <= 1e-5 * max(1.0, abs(want))
+
+
+def test_r1_penalty_stage2_multiscale(tmp_path, corpus):
+    """R1 composes with the stage-2 multi-scale D (feature-list output)."""
+    import jax.numpy as jnp
+
+    cfg = _config(tmp_path, corpus, name="HdGan2", size=128, r1_gamma=0.1)
+    t = HdTrainerStage2(cfg, quiet=True)
+    k = jax.random.PRNGKey(5)
+    img = jax.random.uniform(k, (1, 128, 128, 1), minval=-1.0, maxval=1.0)
+    batch = {"A1": img, "A2": img, "B1": img, "B2": jnp.roll(img, 3, axis=2)}
+    s, out = t._compile_step()(t.state, batch, 1e-4, 1e-4)
+    assert np.isfinite(float(out["R1_loss"]))
+    assert np.isfinite(float(out["toal_loss"]))
