@@ -121,7 +121,22 @@ def leaky_relu(x, negative_slope: float = 0.2):
 
 
 def max_pool(x, window: int = 2):
-    return nn.max_pool(x, (window, window), strides=(window, window))
+    """Non-overlapping max pool (torch MaxPool2d(window) semantics).
+
+    Implemented as a reshape + axis-max rather than ``lax.reduce_window``:
+    the forward values are identical, but the VJP of reduce_window(max) is
+    XLA SelectAndScatter — a serialized scatter that is pathologically slow
+    on TPU — while the reshape form differentiates to a cheap compare+mask.
+    (Tie handling differs: reduce_window routes the cotangent to the first
+    max, the reshape form splits it across ties — a measure-zero
+    subgradient choice for float activations.) The RegNet's 7 pools sit on
+    the training hot path (reference trainer/reg.py:82 MaxPool2d(2)).
+    """
+    n, h, w, c = x.shape
+    if h % window or w % window:
+        return nn.max_pool(x, (window, window), strides=(window, window))
+    xr = x.reshape(n, h // window, window, w // window, window, c)
+    return xr.max(axis=(2, 4))
 
 
 def avg_pool_same(x, window: int = 3, stride: int = 2):

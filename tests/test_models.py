@@ -175,3 +175,41 @@ def test_pad_mode_config_validation():
     with _pytest.raises(ValueError):
         load_config(dict(pad_mode="circular"))
     assert load_config(dict(pad_mode="zero")).pad_mode == "zero"
+
+
+def test_max_pool_matches_reduce_window_and_torch():
+    """The reshape-form max_pool (layers.py) must be forward-identical to
+    lax.reduce_window / torch MaxPool2d(2), and its VJP must route the
+    cotangent to the argmax (reference pool: trainer/reg.py:82)."""
+    from flax import linen as nn
+
+    from ctagan_tpu.models.layers import max_pool
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 8, 10, 3)).astype(np.float32)
+    got = max_pool(jnp.asarray(x), 2)
+    want_rw = nn.max_pool(jnp.asarray(x), (2, 2), strides=(2, 2))
+    want_torch = (
+        torch.nn.functional.max_pool2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2), 2
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want_rw))
+    np.testing.assert_array_equal(np.asarray(got), want_torch)
+
+    # gradient: with unique maxima, d sum(pool(x)) / dx is a 0/1 argmax mask
+    g = jax.grad(lambda v: max_pool(v, 2).sum())(jnp.asarray(x))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2).requires_grad_(True)
+    torch.nn.functional.max_pool2d(xt, 2).sum().backward()
+    np.testing.assert_allclose(
+        np.asarray(g), xt.grad.permute(0, 2, 3, 1).numpy(), atol=1e-6
+    )
+
+    # odd spatial size falls back to reduce_window (still exact)
+    x2 = jnp.asarray(rng.standard_normal((1, 7, 7, 2)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(max_pool(x2, 2)),
+        np.asarray(nn.max_pool(x2, (2, 2), strides=(2, 2))),
+    )
