@@ -104,3 +104,43 @@ fn, st, b = make(fused_grad=True)
 bench_step("FULL fused_body_grad step", fn, st, b)
 fn, st, b = make(perf=True)
 bench_step("FULL perf-mode step", fn, st, b)
+
+# --- RegNet depth ladder: locate the cost by truncating the U-Net at k
+# levels (down-only prefix + matching up path is complex; instead time
+# (a) down path prefixes and (b) isolated per-level pieces).
+from flax import linen as nn
+from ctagan_tpu.models.layers import RegConv, RegResnetBlock, max_pool
+
+
+class DownPrefix(nn.Module):
+    k: int
+    @nn.compact
+    def __call__(self, xx):
+        from ctagan_tpu.models.reg import NDF
+        for i in range(self.k):
+            xx = RegConv(NDF[i], 3, 1, 1, activation="leaky_relu",
+                         use_resnet=True, dtype=jnp.bfloat16,
+                         name=f"down_{i+1}")(xx)
+            xx = max_pool(xx, 2)
+        return xx
+
+
+x2 = jnp.concatenate([x, y], axis=-1)
+for k in (1, 2, 3, 7):
+    m = DownPrefix(k)
+    p = m.init(jax.random.PRNGKey(0), x2)
+    timeit(f"R down-prefix k={k} fwd", jax.jit(lambda p, a, m=m: m.apply(p, a)), p, x2)
+    timeit(f"R down-prefix k={k} fwd+bwd", jax.jit(lambda p, a, m=m: jax.grad(
+        lambda q: jnp.mean(jnp.square(m.apply(q, a).astype(jnp.float32))))(p)), p, x2)
+
+# isolated pool fwd+bwd at the top size (the SelectAndScatter suspect —
+# after the reshape-form fix this should be ~free)
+xp = jnp.asarray(rng.uniform(-1, 1, (1, SIZE, SIZE, 32)).astype(np.float32), jnp.bfloat16)
+timeit("max_pool 512^2x32 fwd+bwd", jax.jit(lambda a: jax.grad(
+    lambda q: jnp.sum(max_pool(q, 2).astype(jnp.float32)))(a)), xp)
+
+# isolated bilinear-resize up fwd+bwd at the top size
+from ctagan_tpu.ops.resize import interpolate_bilinear
+xu = jnp.asarray(rng.uniform(-1, 1, (1, SIZE // 2, SIZE // 2, 64)).astype(np.float32), jnp.bfloat16)
+timeit("bilinear up 256->512 x64 fwd+bwd", jax.jit(lambda a: jax.grad(
+    lambda q: jnp.sum(interpolate_bilinear(q, (SIZE, SIZE)).astype(jnp.float32)))(a)), xu)
