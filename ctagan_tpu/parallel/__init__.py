@@ -4,3 +4,10 @@ from ctagan_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from ctagan_tpu.parallel.tensor import (
+    make_tp_mesh,
+    make_dp_tp_mesh,
+    tp_param_specs,
+    shard_params_tp,
+    infer_tensor_sharded,
+)

@@ -1,0 +1,135 @@
+"""Tensor (channel) parallelism for the generator's residual body.
+
+The DP mesh (parallel/mesh.py) scales batch throughput and the halo mesh
+(parallel/halo.py) scales field-of-view; this module adds the third axis:
+**model width**. The generator's FLOPs are dominated by the residual body —
+``n_residual_blocks`` pairs of 3x3 convs at 256 channels (reference
+Model/CycleGan.py:40-44) — and widening that body (e.g. a 512- or
+1024-channel variant for a higher-capacity production model) quickly
+exceeds one chip's HBM/compute. Channel sharding splits each block across
+the mesh Megatron-style:
+
+- **conv1 is column-parallel**: its kernel is sharded on the *output*
+  channel dim, so each device computes a distinct 1/n slice of the block's
+  hidden channels from the (replicated) block input;
+- **InstanceNorm is per-(sample, channel)** — with channels sharded it
+  needs no communication at all (the norm reduces over H, W only);
+- the inter-conv ReLU is elementwise — local;
+- **conv2 is row-parallel**: its kernel is sharded on the *input* channel
+  dim, each device contracting its local hidden channels into a partial
+  full-width output; one ``psum`` over the axis completes the contraction.
+
+Net: ONE all-reduce per residual block, everything between block
+boundaries communication-free. Implemented with GSPMD sharding annotations
+rather than hand-written collectives: ``tp_param_specs`` assigns a
+``PartitionSpec`` to every parameter leaf, the params are ``device_put``
+accordingly, and XLA's SPMD partitioner derives the activation shardings
+and inserts the all-reduces (the "annotate shardings, let XLA insert
+collectives" recipe). Composes with data parallelism on a 2-D
+(data, model) mesh — batch sharded on ``data``, channels on ``model``.
+
+The reference has no analogue (single GPU, fixed 256-wide body); the
+sharded forward equals the unsharded one to float tolerance (locked by
+tests/test_parallel_tensor.py).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ctagan_tpu.parallel.mesh import DATA_AXIS
+
+MODEL_AXIS = "model"
+
+
+def make_tp_mesh(devices: Optional[Sequence] = None, n: Optional[int] = None) -> Mesh:
+    """1-D tensor-parallel mesh over ``devices`` (default: all local)."""
+    if devices is None:
+        devices = jax.devices()
+    if n is not None:
+        devices = devices[:n]
+    return Mesh(np.array(devices), (MODEL_AXIS,))
+
+
+def make_dp_tp_mesh(
+    dp: int, tp: int, devices: Optional[Sequence] = None
+) -> Mesh:
+    """2-D (data, model) mesh: batch scales on ``data``, channels on
+    ``model``. ``tp`` should map to the faster interconnect (innermost ICI
+    axis) since TP all-reduces every block while DP all-reduces once per
+    step."""
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < dp * tp:
+        raise ValueError(f"need {dp * tp} devices, have {len(devices)}")
+    arr = np.array(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def _spec_for(path: tuple, leaf) -> P:
+    """Megatron pairing for a generator param leaf (see module doc).
+
+    ``path``: tuple of str keys into the Flax param dict, e.g.
+    ('params', 'ResidualBlock_0', 'ConvTorch_0', 'Conv_0', 'kernel').
+    Conv kernels are HWIO. Everything outside the residual body (7x7
+    head/tail, stride-2 down convs, transposed up convs) is replicated —
+    those are <17% of the FLOPs and shard poorly (<=128 channels).
+    """
+    keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+    in_block = any(str(k).startswith("ResidualBlock_") for k in keys)
+    if not in_block or leaf.ndim == 0:
+        return P()
+    name = str(keys[-1])
+    conv1 = any(str(k) == "ConvTorch_0" for k in keys[1:])
+    if conv1 and name == "kernel" and leaf.ndim == 4:
+        return P(None, None, None, MODEL_AXIS)  # column-parallel: O sharded
+    if conv1 and name == "bias" and leaf.ndim == 1:
+        return P(MODEL_AXIS)
+    if name == "kernel" and leaf.ndim == 4:
+        return P(None, None, MODEL_AXIS, None)  # row-parallel: I sharded
+    return P()  # conv2 bias (added after the psum) and anything else
+
+
+def tp_param_specs(params):
+    """PartitionSpec pytree for a Generator param tree (TP rules above)."""
+    return jax.tree_util.tree_map_with_path(_spec_for, params)
+
+
+def shard_params_tp(params, mesh: Mesh):
+    """Place ``params`` on ``mesh`` under the TP layout. Sharded dims must
+    divide by the mesh's ``model`` extent (body width 256 → up to 256-way)."""
+    specs = tp_param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def infer_tensor_sharded(
+    generator,
+    params,
+    x,
+    mesh: Optional[Mesh] = None,
+    data_parallel: bool = False,
+):
+    """Channel-sharded generator forward: params in the TP layout, input
+    replicated (or batch-sharded when ``data_parallel`` on a 2-D mesh),
+    output gathered. ``generator`` is cloned onto its plain XLA path — the
+    Pallas fused kernels are single-device programs and don't partition.
+    """
+    mesh = mesh or make_tp_mesh()
+    g = generator.clone(fused_body=False, fused_body_grad=False, tap_heads=False)
+    sharded_params = shard_params_tp(params, mesh)
+    x_sharding = NamedSharding(
+        mesh, P(DATA_AXIS) if data_parallel else P()
+    )
+    xs = jax.device_put(jax.numpy.asarray(x), x_sharding)
+    out_sharding = NamedSharding(mesh, P())
+
+    @jax.jit
+    def fwd(p, a):
+        return jax.lax.with_sharding_constraint(g.apply(p, a), out_sharding)
+
+    return fwd(sharded_params, xs)

@@ -1,0 +1,86 @@
+"""Tensor (channel) parallelism: sharded-vs-unsharded forward equality.
+
+The TP layout (parallel/tensor.py) must reproduce the single-device
+generator forward to float tolerance: conv1 column-parallel, InstanceNorm
+channel-local, conv2 row-parallel + psum. Runs on the 8-virtual-device CPU
+mesh (conftest)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctagan_tpu.models import Generator
+from ctagan_tpu.parallel.tensor import (
+    MODEL_AXIS,
+    infer_tensor_sharded,
+    make_dp_tp_mesh,
+    make_tp_mesh,
+    shard_params_tp,
+    tp_param_specs,
+)
+
+
+@pytest.fixture(scope="module")
+def g_and_params():
+    g = Generator(1, 1, n_residual_blocks=3)
+    params = g.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))
+    return g, params
+
+
+def test_tp_specs_target_body_convs(g_and_params):
+    _, params = g_and_params
+    specs = tp_param_specs(params)
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in path): spec
+        for path, spec in jax.tree_util.tree_flatten_with_path(specs)[0]
+    }
+    assert (
+        flat["params/ResidualBlock_0/ConvTorch_0/Conv_0/kernel"].index(MODEL_AXIS)
+        == 3
+    )
+    assert flat["params/ResidualBlock_0/ConvTorch_0/Conv_0/bias"] == (MODEL_AXIS,)
+    assert (
+        flat["params/ResidualBlock_0/ConvTorch_1/Conv_0/kernel"].index(MODEL_AXIS)
+        == 2
+    )
+    assert flat["params/ResidualBlock_0/ConvTorch_1/Conv_0/bias"] == ()
+    # head/tail/up/down stay replicated
+    assert flat["params/ConvTorch_0/Conv_0/kernel"] == ()
+    assert flat["params/ConvTransposeTorch_0/ConvTranspose_0/kernel"] == ()
+
+
+def test_tp_params_actually_sharded(g_and_params):
+    _, params = g_and_params
+    mesh = make_tp_mesh()
+    sp = shard_params_tp(params, mesh)
+    k1 = sp["params"]["ResidualBlock_0"]["ConvTorch_0"]["Conv_0"]["kernel"]
+    n = len(mesh.devices.ravel())
+    shard = k1.addressable_shards[0].data
+    assert shard.shape == (3, 3, 256, 256 // n)
+    k2 = sp["params"]["ResidualBlock_0"]["ConvTorch_1"]["Conv_0"]["kernel"]
+    assert k2.addressable_shards[0].data.shape == (3, 3, 256 // n, 256)
+
+
+def test_tp_forward_matches_unsharded(g_and_params):
+    g, params = g_and_params
+    x = np.random.default_rng(0).uniform(-1, 1, (1, 64, 64, 1)).astype(
+        np.float32
+    )
+    ref = g.apply(params, jnp.asarray(x))
+    out = infer_tensor_sharded(g, params, x, mesh=make_tp_mesh())
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_dp_tp_2d_mesh_forward(g_and_params):
+    g, params = g_and_params
+    mesh = make_dp_tp_mesh(dp=2, tp=4)
+    x = np.random.default_rng(1).uniform(-1, 1, (4, 64, 64, 1)).astype(
+        np.float32
+    )
+    ref = g.apply(params, jnp.asarray(x))
+    out = infer_tensor_sharded(g, params, x, mesh=mesh, data_parallel=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
