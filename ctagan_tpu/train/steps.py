@@ -399,9 +399,16 @@ def reg_train_step(
     rng, k1, k2 = jax.random.split(state.rng, 3)
     if dual_window_mode:
         real_a = random_affine(k1, batch["A2"], cfg["noise_level"])
-        # one affine per sample pair keeps B1 (mask source) aligned with B2
-        real_b = random_affine(k2, batch["B2"], cfg["noise_level"])
-        real_b1 = random_affine(k2, batch["B1"], cfg["noise_level"])
+        # one affine per sample pair keeps B1 (mask source) aligned with B2.
+        # Both streams draw k2's parameters, so warping them as channels of
+        # ONE gather is bit-identical to two passes (affine_warp is
+        # channel-agnostic) and halves the index math + gather count —
+        # equivalence locked by tests/test_trainers.py.
+        cat_b = jnp.concatenate([batch["B2"], batch["B1"]], axis=-1)
+        warped_b = random_affine(k2, cat_b, cfg["noise_level"])
+        c2 = batch["B2"].shape[-1]
+        real_b = warped_b[..., :c2]
+        real_b1 = warped_b[..., c2:]
         adv_w = cfg["Adv_lamda1"]
         corr_w = cfg["Corr_lamda1"]
     else:
@@ -482,16 +489,25 @@ def reg_train_step(
             )
             total = total + sr2
             aux["SR_loss2"] = sr2
-        return total, aux
+        return total, (aux, fake_b)
 
-    (gr_loss, aux), grads = jax.value_and_grad(gr_loss_fn, has_aux=True)(
-        (state.g_params, state.r_params)
-    )
+    (gr_loss, (aux, fake_b)), grads = jax.value_and_grad(
+        gr_loss_fn, has_aux=True
+    )((state.g_params, state.r_params))
     g_grads, r_grads = grads
     g_params, g_opt = _apply(tx, g_grads, state.g_opt, state.g_params, lr)
     r_params, r_opt = _apply(tx, r_grads, state.r_opt, state.r_params, lr)
 
-    fake2 = jax.lax.stop_gradient(g_model.apply(g_params, real_a))
+    # d_refwd True (default, reference semantics): the D update sees a fresh
+    # G forward with the JUST-UPDATED weights (HdTrainer.py:213-219 steps the
+    # optimizers before the no_grad re-forward). False (opt-in perf mode,
+    # config d_refwd): reuse the G-step's fake_b (pre-update weights) —
+    # saves one full G forward (~7.5 ms of the 84 ms fused step at 512²);
+    # identical when lr == 0, one-optimizer-step-stale otherwise.
+    if bool(cfg.get("d_refwd", True)):
+        fake2 = jax.lax.stop_gradient(g_model.apply(g_params, real_a))
+    else:
+        fake2 = jax.lax.stop_gradient(fake_b)
 
     # Opt-in R1 gradient penalty on D(real) (r1_gamma > 0): a standard GAN
     # stabilizer (Mescheder et al. 2018, "Which Training Methods for GANs

@@ -857,6 +857,7 @@ class RegTrainer(TrainerBase):
             "warp_max_disp": c.warp_max_disp,
             "warp_impl": c.warp_impl,
             "reg_downsample": c.reg_downsample,
+            "d_refwd": c.d_refwd,
             "ema_decay": c.ema_decay or 0.999,
         }
 

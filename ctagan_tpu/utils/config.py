@@ -85,6 +85,9 @@ class Config:
     fused_body_grad: bool = False  # TRAINING path: fused body with custom
     # VJP Pallas backward kernels (grad parity locked by tests); single-ulp
     # bf16 forward differences vs the op-by-op XLA body
+    d_refwd: bool = True  # True (reference): D update re-forwards G with the
+    # just-updated weights (HdTrainer.py:213-219); False: reuse the G-step's
+    # fake image (one-step-stale, saves a full G forward per step)
     ema_decay: float = 0.0  # >0: keep an EMA of G params, used for eval
     device_windowing: bool = True  # feed raw uint16 pixels and derive the
     # windowed/full-range views ON DEVICE (ops/windowing.py, bit-matched to
