@@ -42,6 +42,19 @@ def export_generator(
     import jax.numpy as jnp
     from jax import export as jex
 
+    # Portable artifact: clone off the batch-gated Pallas/tap fast paths —
+    # they are single-platform kernels and their auto-gates compare the
+    # batch dim, which is symbolic here. The plain XLA graph serializes for
+    # any platform; XLA re-fuses it at deserialization-compile time.
+    if hasattr(model, "clone"):
+        safe = {
+            k: False
+            for k in ("fused_body", "fused_body_grad", "tap_heads")
+            if hasattr(model, k)
+        }
+        if safe:
+            model = model.clone(**safe)
+
     def fwd(p, x):
         return model.apply(p, x)
 

@@ -26,6 +26,16 @@ def test_export_roundtrip_symbolic_batch(tmp_path):
         )
 
 
+def test_export_multi_platform(tmp_path):
+    g = Generator(1, 1, n_residual_blocks=1)
+    params = g.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))
+    path = str(tmp_path / "gen_mp.ctax")
+    export_generator(g, params, path, size=64, platforms=("tpu", "cpu"))
+    fn, header = load_exported(path)
+    assert set(header["platforms"]) == {"tpu", "cpu"}
+    assert fn(jnp.zeros((1, 64, 64, 1), jnp.float32)).shape == (1, 64, 64, 1)
+
+
 def test_export_pinned_batch(tmp_path):
     g = Generator(1, 1, n_residual_blocks=2)
     params = g.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))

@@ -31,8 +31,14 @@ def main():
     )
     parser.add_argument(
         "--mode", type=str, default="test",
-        choices=["train", "test", "train_test", "infer", "figures", "serve"],
+        choices=["train", "test", "train_test", "infer", "figures", "serve",
+                 "export"],
         help="What to run (the reference hardcodes test; train by editing).",
+    )
+    parser.add_argument(
+        "--out", type=str, default=None,
+        help="export mode: artifact output path (default "
+        "<save_root>/generator.ctax).",
     )
     parser.add_argument(
         "--max-steps", type=int, default=None,
@@ -93,6 +99,25 @@ def main():
 
         out = infer_series(trainer, opts.series, config.image_save)
         print("synthetic CTA written to:", out)
+    if opts.mode == "export":
+        import os
+
+        from ctagan_tpu.serving.export import export_generator
+        from ctagan_tpu.utils.checkpoint import find_latest_checkpoint
+
+        if config.generator_ckpt:
+            trainer.load_generator(config.generator_ckpt)
+        else:
+            found = find_latest_checkpoint(config.save_root, trainer.ckpt_prefix)
+            if found:
+                trainer.load_generator(found[0])
+        out = opts.out or os.path.join(config.save_root, "generator.ctax")
+        export_generator(
+            trainer.g_eval, trainer._g_params(), out, size=config.size,
+            channels=config.input_nc * config.context_slices,
+            platforms=("tpu", "cpu"),
+        )
+        print("artifact written to:", out)
     if opts.mode == "serve":
         from ctagan_tpu.serving.server import serve
         from ctagan_tpu.utils.checkpoint import find_latest_checkpoint
