@@ -116,6 +116,8 @@ def init_p2p_state(
 def p2p_train_step(g_model, d_model, tx, cfg, state: P2pState, batch, lr):
     """cfg: dict(P2P_lamda, Adv_lamda, noise_level). batch: A, B (N,H,W,C)."""
     rng, ka, kb = jax.random.split(state.rng, 3)
+    if bool(cfg.get("aligned_aug", False)):
+        kb = ka  # opt-in: pair-aligned augmentation (see reg_train_step)
     a = random_affine(ka, batch["A"], cfg["noise_level"])
     b = random_affine(kb, batch["B"], cfg["noise_level"])
 
@@ -271,6 +273,8 @@ def init_cyc_state(
 
 def cyc_train_step(g_model, d_model, tx, cfg, state: CycState, batch, lr):
     rng, ka, kb, kba, kbb = jax.random.split(state.rng, 5)
+    if bool(cfg.get("aligned_aug", False)):
+        kb = ka  # opt-in: pair-aligned augmentation (see reg_train_step)
     real_a = random_affine(ka, batch["A"], cfg["noise_level"])
     real_b = random_affine(kb, batch["B"], cfg["noise_level"])
     adv, cyc = cfg["Adv_lamda"], cfg["Cyc_lamda"]
@@ -397,6 +401,11 @@ def reg_train_step(
       the B1-thresholded body mask.
     """
     rng, k1, k2 = jax.random.split(state.rng, 3)
+    if bool(cfg.get("aligned_aug", False)):
+        # opt-in: both sides share one affine draw -> the pair stays
+        # geometrically aligned under augmentation (the reference's
+        # commented-out second random.seed, datasets.py:224)
+        k2 = k1
     if dual_window_mode:
         real_a = random_affine(k1, batch["A2"], cfg["noise_level"])
         # one affine per sample pair keeps B1 (mask source) aligned with B2.

@@ -62,6 +62,11 @@ def _dtype(cfg: Config):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
 
+def _tap_convs(cfg: Config):
+    """config reg_tap_convs -> RegNet.tap_convs (None = model-level auto)."""
+    return {"auto": None, "on": True, "off": False}[cfg.reg_tap_convs]
+
+
 class TrainerBase:
     """Shared machinery: mesh, schedules, loops, val, checkpoints, test."""
 
@@ -765,6 +770,7 @@ class P2pTrainer(TrainerBase):
             "P2P_lamda": self.config.P2P_lamda,
             "Adv_lamda": self.config.Adv_lamda,
             "noise_level": self.config.noise_level,
+            "aligned_aug": self.config.aligned_aug,
             "ema_decay": self.config.ema_decay or 0.999,
         }
         fn = partial(steps.p2p_train_step, self.g_model, self.d_model, self.tx, cfg)
@@ -798,6 +804,7 @@ class CycTrainer(TrainerBase):
             "Adv_lamda": self.config.Adv_lamda,
             "Cyc_lamda": self.config.Cyc_lamda,
             "noise_level": self.config.noise_level,
+            "aligned_aug": self.config.aligned_aug,
             "ema_decay": self.config.ema_decay or 0.999,
         }
         fn = partial(steps.cyc_train_step, self.g_model, self.d_model, self.tx, cfg)
@@ -826,7 +833,8 @@ class RegTrainer(TrainerBase):
         cfg = self.config
         self.r_model = RegNet(
             cfg.input_nc, cfg.input_nc, dtype=_dtype(cfg),
-            fuse_up=cfg.reg_fuse_up,
+            fuse_up=cfg.reg_fuse_up, tap_convs=_tap_convs(cfg),
+            im2col_levels=cfg.reg_im2col_levels,
         )
         self.d_model = Discriminator(cfg.input_nc, dtype=_dtype(cfg))
 
@@ -854,6 +862,7 @@ class RegTrainer(TrainerBase):
             "FM_lamda": c.FM_lamda,
             "r1_gamma": c.r1_gamma,
             "noise_level": c.noise_level,
+            "aligned_aug": c.aligned_aug,
             "warp_max_disp": c.warp_max_disp,
             "warp_impl": c.warp_impl,
             "reg_downsample": c.reg_downsample,
@@ -914,7 +923,8 @@ class HdTrainerStage2(RegTrainer):
         cfg = self.config
         self.r_model = RegNet(
             cfg.input_nc, cfg.input_nc, dtype=_dtype(cfg),
-            fuse_up=cfg.reg_fuse_up,
+            fuse_up=cfg.reg_fuse_up, tap_convs=_tap_convs(cfg),
+            im2col_levels=cfg.reg_im2col_levels,
         )
         # reference defaults: num_D=1, center-crop pyramid (HdGan.py:208,251);
         # both overridable from YAML extras for multi-scale experiments

@@ -77,6 +77,12 @@ class Config:
     reg_downsample: int = 1  # >1: registration net at reduced resolution
     reg_fuse_up: bool = False  # fold ResUNet up-path resize+concat into the
     # conv (phase decomposition; interior-exact, 1-px border approximated)
+    reg_tap_convs: str = "auto"  # tap-decompose the RegNet's MXU-degenerate
+    # 512² convs (input 2->32, flow head 32->2; ops/tap_conv.py). 'auto' =
+    # on TPU at batch <= 8; 'on'/'off' force. Exact up to float ordering.
+    reg_im2col_levels: int = 0  # top-k RegNet levels run their 3x3 convs as
+    # im2col matmuls (dodges XLA's lane-padded small-C conv lowering).
+    # Exact up to float ordering; measured A/B gates the default.
     pad_mode: str = "reflect"  # generator padding: 'reflect' (reference) or
     # 'zero' (fuses into convs, −12% fwd; for from-scratch training)
     fused_body: bool = False  # inference paths (val/test/figures/serving)
@@ -88,6 +94,11 @@ class Config:
     d_refwd: bool = True  # True (reference): D update re-forwards G with the
     # just-updated weights (HdTrainer.py:213-219); False: reuse the G-step's
     # fake image (one-step-stale, saves a full G forward per step)
+    aligned_aug: bool = False  # True: A and B draw the SAME random affine
+    # per pair (aligned augmentation). False (reference semantics): each
+    # side draws independently — deliberate misalignment the RegNet learns
+    # to bridge (HdTrainer.py:131-142 seeds A's transform only; B's draw is
+    # left unseeded, so the pair is misaligned by a random relative affine)
     ema_decay: float = 0.0  # >0: keep an EMA of G params, used for eval
     device_windowing: bool = True  # feed raw uint16 pixels and derive the
     # windowed/full-range views ON DEVICE (ops/windowing.py, bit-matched to
@@ -135,6 +146,10 @@ class Config:
             raise ValueError(
                 "warp_impl must be 'auto', 'adaptive', 'dense' or 'gather'"
             )
+        if self.reg_tap_convs not in ("auto", "on", "off"):
+            raise ValueError("reg_tap_convs must be 'auto', 'on' or 'off'")
+        if not 0 <= self.reg_im2col_levels <= 7:
+            raise ValueError("reg_im2col_levels must be in 0..7")
         if self.depth_downsample not in (1, 2, 4):
             raise ValueError("depth_downsample must be 1, 2 or 4")
         if self.patch_depth % self.depth_downsample != 0:

@@ -68,3 +68,61 @@ def test_d_refwd_false_runs_and_is_finite():
     }
     _, losses = _run_step(base, 1e-4)
     assert all(np.isfinite(float(v)) for v in losses.values())
+
+
+def _record_affine_keys(monkeypatch):
+    """Patch steps.random_affine with a recorder (eager path: keys concrete)."""
+    seen = []
+    orig = steps.random_affine
+
+    def recorder(key, x, noise_level):
+        seen.append(np.asarray(jax.random.key_data(key)))
+        return orig(key, x, noise_level)
+
+    monkeypatch.setattr(steps, "random_affine", recorder)
+    return seen
+
+
+def test_aligned_aug_shares_the_affine_key(monkeypatch):
+    """aligned_aug=True must route A and B through ONE affine draw per pair
+    in every family's step; False (reference semantics, HdTrainer.py:131-142)
+    keeps the draws independent."""
+    rng = np.random.default_rng(2)
+    lr = jnp.float32(1e-4)
+
+    def keys_for(family, aligned):
+        size = 128 if family == "reg" else 64
+        img = lambda: jnp.asarray(
+            rng.uniform(-1, 1, (1, size, size, 1)).astype(np.float32)
+        )
+        seen = _record_affine_keys(monkeypatch)
+        if family == "p2p":
+            g, d = Generator(1, 1, n_residual_blocks=1), Discriminator(2)
+            state, tx = steps.init_p2p_state(g, d, jax.random.PRNGKey(0), 64)
+            cfg = {"P2P_lamda": 10.0, "Adv_lamda": 1.0, "noise_level": 1,
+                   "aligned_aug": aligned}
+            steps.p2p_train_step(g, d, tx, cfg, state,
+                                 {"A": img(), "B": img()}, lr)
+        elif family == "cyc":
+            g, d = Generator(1, 1, n_residual_blocks=1), Discriminator(1)
+            state, tx = steps.init_cyc_state(g, d, jax.random.PRNGKey(0), 64)
+            cfg = {"Adv_lamda": 1.0, "Cyc_lamda": 10.0, "noise_level": 1,
+                   "aligned_aug": aligned}
+            steps.cyc_train_step(g, d, tx, cfg, state,
+                                 {"A": img(), "B": img()}, lr)
+        else:
+            g, r, d = Generator(1, 1, n_residual_blocks=1), RegNet(1, 1), Discriminator(1)
+            state, tx = steps.init_reg_state(g, r, d, jax.random.PRNGKey(0), 128)
+            cfg = {"Adv_lamda": 1.0, "Corr_lamda": 20.0, "Smooth_lamda": 10.0,
+                   "noise_level": 1, "aligned_aug": aligned}
+            steps.reg_train_step(g, r, d, tx, cfg, state,
+                                 {"A": img(), "B": img()}, lr,
+                                 dual_window_mode=False)
+        return seen
+
+    for family in ("p2p", "cyc", "reg"):
+        aligned = keys_for(family, True)
+        assert len(aligned) >= 2
+        np.testing.assert_array_equal(aligned[0], aligned[1])
+        indep = keys_for(family, False)
+        assert not np.array_equal(indep[0], indep[1])
