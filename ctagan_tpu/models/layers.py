@@ -378,26 +378,64 @@ class RegConv(nn.Module):
     use_resnet: bool = False
     zero_init: bool = False
     dtype: Any = None
+    # taps=True routes MXU-degenerate channel shapes (min(C_in, C_out) <= 8)
+    # through the tap decomposition (ops/tap_conv.py): the RegNet's input
+    # conv (2->32) wastes the contraction dim, its flow head (32->2) the
+    # output lanes, exactly like the generator's 7x7 head/tail. Param tree
+    # is unchanged (checkpoints interchange); numerics exact up to float
+    # ordering / one bf16 tap-image rounding on the tail form.
+    taps: bool = False
+    # im2col=True routes the 3x3 'same' conv through the im2col matmul form
+    # for ANY channel count (ops/tap_conv.py::conv_head_taps) — dodges
+    # XLA's lane-padded direct lowering at small C (the RegNet's 32/64-ch
+    # top levels). Differentiable plain XLA; exact up to float ordering.
+    im2col: bool = False
 
     @nn.compact
     def __call__(self, x):
         slope = 0.2 if self.activation == "leaky_relu" else 0.0
         kinit = near_zero_init() if self.zero_init else kaiming_normal_init(slope)
-        x = ConvTorch(
-            self.features,
-            self.kernel_size,
-            self.stride,
-            self.padding,
-            kernel_init=kinit,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-        )(x)
+        cin = x.shape[-1]
+        degenerate = min(cin, self.features) <= 8
+        if (
+            (self.im2col or (self.taps and degenerate))
+            and self.stride == 1
+            and self.padding == self.kernel_size // 2
+        ):
+            from ctagan_tpu.ops.tap_conv import conv_head_taps, conv_tail_taps
+
+            k, b = _ConvTorchParams(
+                (self.kernel_size, self.kernel_size, cin, self.features),
+                kinit, nn.initializers.zeros, name="ConvTorch_0",
+            )()
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+            # tail form only for a degenerate C_out (its tap image is
+            # kh*kw*C_out wide — tiny there, 9x blowup otherwise)
+            fn = (
+                conv_tail_taps
+                if (degenerate and self.features < cin)
+                else conv_head_taps
+            )
+            x = fn(x, k, b, pad_mode="zero")
+        else:
+            x = ConvTorch(
+                self.features,
+                self.kernel_size,
+                self.stride,
+                self.padding,
+                kernel_init=kinit,
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+            )(x)
         if self.activation == "leaky_relu":
             x = leaky_relu(x, 0.2)
         elif self.activation == "relu":
             x = nn.relu(x)
         if self.use_resnet:
-            x = RegResnetBlock(self.features, dtype=self.dtype)(x)
+            x = RegResnetBlock(
+                self.features, dtype=self.dtype, im2col=self.im2col
+            )(x)
         return x
 
 
@@ -456,14 +494,43 @@ class FusedUpRegConv(nn.Module):
 
 class RegResnetBlock(nn.Module):
     """layers.py:244-300 ``ResnetBlock``: reflect 3x3 conv + IN + ReLU +
-    reflect 3x3 conv + IN, additive skip; kaiming init, zero bias."""
+    reflect 3x3 conv + IN, additive skip; kaiming init, zero bias.
+
+    ``im2col``: run both convs as im2col matmuls (ops/tap_conv.py) instead
+    of the direct XLA conv — same params (checkpoints interchange), exact
+    up to float ordering; the RegNet's small-channel top levels use this
+    on TPU where the direct lowering lane-pads C=32/64 (config
+    ``reg_im2col_levels``)."""
 
     features: int
     dtype: Any = None
+    im2col: bool = False
 
     @nn.compact
     def __call__(self, x):
         init = kaiming_normal_init(0.0)
+        if self.im2col:
+            from ctagan_tpu.ops.tap_conv import conv_head_taps
+
+            k1, b1 = _ConvTorchParams(
+                (3, 3, x.shape[-1], self.features), init,
+                nn.initializers.zeros, name="ConvTorch_0",
+            )()
+            k2, b2 = _ConvTorchParams(
+                (3, 3, self.features, self.features), init,
+                nn.initializers.zeros, name="ConvTorch_1",
+            )()
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+            h = conv_head_taps(x, k1, b1, pad_mode="reflect")
+            h = instance_norm(h)
+            h = nn.relu(h)
+            h = conv_head_taps(
+                h.astype(x.dtype) if self.dtype is not None else h,
+                k2, b2, pad_mode="reflect",
+            )
+            h = instance_norm(h)
+            return x + h
         h = reflect_pad(x, 1)
         h = ConvTorch(
             self.features, 3, kernel_init=init, bias_init=nn.initializers.zeros,

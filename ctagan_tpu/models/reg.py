@@ -41,16 +41,36 @@ class RegNet(nn.Module):
     # ``reg_fuse_up``): interior-exact, 1-px border uses edge-replicate
     # semantics. Param tree is unchanged, checkpoints interchange.
     fuse_up: bool = False
+    # Tap-decompose the MXU-degenerate 512²-level convs: the input conv
+    # (2->32, contraction dim 2/128 filled) and the flow head (32->2,
+    # output lanes 2/128 filled) — the RegNet analogue of the generator's
+    # tap_heads. None = auto (on TPU at batch <= 8 — training runs b=1-2);
+    # bool forces. Param tree unchanged; exact up to float ordering.
+    tap_convs: Any = None
+    # Run the 3x3 convs (RegConv + resblock + up convs) of the top
+    # ``im2col_levels`` levels as im2col matmuls instead of direct XLA
+    # convs (config ``reg_im2col_levels``): the 32/64-channel full-res
+    # levels underfill the 128-lane MXU through the direct lowering. Param
+    # tree unchanged; exact up to float ordering; plain differentiable XLA.
+    im2col_levels: int = 0
 
     @nn.compact
     def __call__(self, img_a, img_b):
+        import jax
+
+        taps = self.tap_convs
+        if taps is None:
+            taps = (
+                jax.default_backend() == "tpu" and img_a.shape[0] <= 8
+            )
         x = jnp.concatenate([img_a, img_b], axis=-1)
         skips = []
-        # down path
+        # down path (level i+1; level 1 = full res)
         for i, nf in enumerate(NDF):
             x = RegConv(
                 nf, 3, 1, 1, activation="leaky_relu", use_resnet=True,
-                dtype=self.dtype, name=f"down_{i + 1}",
+                dtype=self.dtype, taps=taps,
+                im2col=i < self.im2col_levels, name=f"down_{i + 1}",
             )(x)
             skips.append(x)
             x = max_pool(x, 2)
@@ -73,15 +93,21 @@ class RegNet(nn.Module):
                 continue
             x = interpolate_bilinear(x, (skip.shape[1], skip.shape[2]))
             x = jnp.concatenate([x, skip], axis=-1)
+            # up stage at level (len(NDF) - i); up_1 is the coarsest
             x = RegConv(
-                nf, 3, 1, 1, dtype=self.dtype, name=f"up_{len(NDF) - i}",
+                nf, 3, 1, 1, dtype=self.dtype,
+                im2col=(len(NDF) - i) <= self.im2col_levels,
+                name=f"up_{len(NDF) - i}",
             )(x)
-        # refine
-        x = RegResnetBlock(NUF[-1], dtype=self.dtype, name="refine_res")(x)
+        # refine (full res = level 1)
+        x = RegResnetBlock(
+            NUF[-1], dtype=self.dtype, im2col=self.im2col_levels >= 1,
+            name="refine_res",
+        )(x)
         x = RegConv(NUF[-1], 1, 1, 0, dtype=self.dtype, name="refine_conv")(x)
         # near-identity flow head
         flow = RegConv(
             2, 3, 1, 1, activation=None, zero_init=True, dtype=self.dtype,
-            name="output",
+            taps=taps, name="output",
         )(x)
         return flow

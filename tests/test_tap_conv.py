@@ -108,3 +108,129 @@ def test_generator3d_tap_tail_parity():
     np.testing.assert_allclose(
         g_tap.apply(params, x), g_ref.apply(params, x), atol=2e-5
     )
+
+
+def _ref_conv(x, k, b, pad_mode):
+    mode = "constant" if pad_mode == "zero" else "reflect"
+    kh, kw = k.shape[:2]
+    xp = jnp.pad(
+        x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)), mode=mode
+    )
+    y = jax.lax.conv_general_dilated(
+        xp, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return y + b
+
+
+@pytest.mark.parametrize("pad_mode", ["reflect", "zero"])
+def test_head_taps_3x3_matches_direct(pad_mode):
+    from ctagan_tpu.ops.tap_conv import conv_head_taps
+
+    x = _rand((2, 18, 22, 2))
+    k = _rand((3, 3, 2, 32), 11, 0.1)
+    b = _rand((32,), 12)
+    got = conv_head_taps(x, k, b, pad_mode=pad_mode)
+    np.testing.assert_allclose(got, _ref_conv(x, k, b, pad_mode), atol=2e-5)
+
+
+@pytest.mark.parametrize("pad_mode", ["reflect", "zero"])
+def test_tail_taps_3x3_matches_direct(pad_mode):
+    from ctagan_tpu.ops.tap_conv import conv_tail_taps
+
+    x = _rand((2, 18, 22, 32))
+    k = _rand((3, 3, 32, 2), 13, 0.1)
+    b = _rand((2,), 14)
+    got = conv_tail_taps(x, k, b, pad_mode=pad_mode)
+    np.testing.assert_allclose(got, _ref_conv(x, k, b, pad_mode), atol=1e-4)
+
+
+def test_regnet_tap_convs_parity():
+    """RegNet tap_convs: identical param tree + init values, matching
+    forward and gradients vs the direct-conv path."""
+    from ctagan_tpu.models.reg import RegNet
+
+    r_ref = RegNet(1, 1, tap_convs=False)
+    r_tap = RegNet(1, 1, tap_convs=True)
+    a = _rand((1, 128, 128, 1), 21)
+    b = _rand((1, 128, 128, 1), 22)
+    params = r_ref.init(jax.random.PRNGKey(0), a, b)
+    tap_params = r_tap.init(jax.random.PRNGKey(0), a, b)
+    assert jax.tree_util.tree_structure(tap_params) == (
+        jax.tree_util.tree_structure(params)
+    )
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(tap_params),
+        jax.tree_util.tree_leaves(params),
+    ):
+        np.testing.assert_array_equal(pa, pb)
+    np.testing.assert_allclose(
+        r_tap.apply(params, a, b), r_ref.apply(params, a, b), atol=2e-5
+    )
+    # flow head is near-zero-init: nudge just it so grads see a real flow
+    # (perturbing the whole tree explodes activations through the 7 levels
+    # and drowns the comparison in f32 ordering noise)
+    out_k = params["params"]["output"]["ConvTorch_0"]["Conv_0"]["kernel"]
+    params["params"]["output"]["ConvTorch_0"]["Conv_0"]["kernel"] = (
+        out_k + 0.01 * _rand(out_k.shape, 31)
+    )
+    g_tap = jax.grad(
+        lambda p: jnp.sum(jnp.square(r_tap.apply(p, a, b)))
+    )(params)
+    g_ref = jax.grad(
+        lambda p: jnp.sum(jnp.square(r_ref.apply(p, a, b)))
+    )(params)
+    leaves_t = jax.tree_util.tree_leaves(g_tap)
+    leaves_r = jax.tree_util.tree_leaves(g_ref)
+    global_scale = max(float(np.abs(np.asarray(g)).max()) for g in leaves_r)
+    for ga, gb in zip(leaves_t, leaves_r):
+        ga, gb = np.asarray(ga), np.asarray(gb)
+        # Per-leaf scale-normalized comparison: resblock conv biases have a
+        # TRUE gradient of zero (InstanceNorm cancels any bias shift), so
+        # their leaves hold only f32 cancellation noise (~eps * upstream
+        # magnitude) — floor the scale at 1e-6 of the global grad scale;
+        # ReLU-mask flips from ordering noise cost ~1% on interior kernels.
+        # 2% of the leaf's max grad is still a real check — the tap-routed
+        # leaves themselves (down_1, output) agree to <=1e-3.
+        scale = max(np.abs(gb).max(), 1e-6 * global_scale)
+        assert np.abs(ga - gb).max() <= 2e-2 * scale
+
+
+def test_regnet_im2col_levels_parity():
+    """im2col-routed top levels: identical param tree/init, forward and
+    gradient parity vs the direct path (same scale-normalized check)."""
+    from ctagan_tpu.models.reg import RegNet
+
+    r_ref = RegNet(1, 1, tap_convs=False)
+    r_im = RegNet(1, 1, tap_convs=False, im2col_levels=2)
+    a = _rand((1, 128, 128, 1), 41)
+    b = _rand((1, 128, 128, 1), 42)
+    params = r_ref.init(jax.random.PRNGKey(0), a, b)
+    im_params = r_im.init(jax.random.PRNGKey(0), a, b)
+    assert jax.tree_util.tree_structure(im_params) == (
+        jax.tree_util.tree_structure(params)
+    )
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(im_params),
+        jax.tree_util.tree_leaves(params),
+    ):
+        np.testing.assert_array_equal(pa, pb)
+    np.testing.assert_allclose(
+        r_im.apply(params, a, b), r_ref.apply(params, a, b), atol=3e-5
+    )
+    out_k = params["params"]["output"]["ConvTorch_0"]["Conv_0"]["kernel"]
+    params["params"]["output"]["ConvTorch_0"]["Conv_0"]["kernel"] = (
+        out_k + 0.01 * _rand(out_k.shape, 43)
+    )
+    g_im = jax.grad(
+        lambda p: jnp.sum(jnp.square(r_im.apply(p, a, b)))
+    )(params)
+    g_ref = jax.grad(
+        lambda p: jnp.sum(jnp.square(r_ref.apply(p, a, b)))
+    )(params)
+    leaves_t = jax.tree_util.tree_leaves(g_im)
+    leaves_r = jax.tree_util.tree_leaves(g_ref)
+    global_scale = max(float(np.abs(np.asarray(g)).max()) for g in leaves_r)
+    for ga, gb in zip(leaves_t, leaves_r):
+        ga, gb = np.asarray(ga), np.asarray(gb)
+        scale = max(np.abs(gb).max(), 1e-6 * global_scale)
+        assert np.abs(ga - gb).max() <= 2e-2 * scale
