@@ -67,6 +67,17 @@ def _tap_convs(cfg: Config):
     return {"auto": None, "on": True, "off": False}[cfg.reg_tap_convs]
 
 
+def _fused_body_grad(cfg: Config) -> bool:
+    """config fused_body_grad -> bool ('auto' = on TPU; the Generator gates
+    shape eligibility itself)."""
+    v = cfg.fused_body_grad
+    if isinstance(v, bool):
+        return v
+    if v == "auto":
+        return jax.default_backend() == "tpu"
+    return v == "on"
+
+
 class TrainerBase:
     """Shared machinery: mesh, schedules, loops, val, checkpoints, test."""
 
@@ -162,7 +173,7 @@ class TrainerBase:
             dtype=_dtype(self.config),
             remat=self.config.remat,
             pad_mode=self.config.pad_mode,
-            fused_body_grad=self.config.fused_body_grad,
+            fused_body_grad=_fused_body_grad(self.config),
         )
 
     def _build_eval_generator(self):

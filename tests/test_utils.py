@@ -119,3 +119,20 @@ def test_ema_ramp_debiases_short_runs():
     # no count (legacy callers): flat decay
     out3 = _ema_update(ema, params, 0.999)
     np.testing.assert_allclose(np.asarray(out3["w"]), 0.001, rtol=1e-4)
+
+
+def test_fused_body_grad_config_resolution():
+    from ctagan_tpu.train.trainers import _fused_body_grad
+    from ctagan_tpu.utils.config import load_config
+
+    import pytest
+
+    mk = lambda v: load_config(dict(name="HdGan", fused_body_grad=v))
+    assert _fused_body_grad(mk(True)) is True
+    assert _fused_body_grad(mk("on")) is True
+    assert _fused_body_grad(mk(False)) is False
+    assert _fused_body_grad(mk("off")) is False
+    # tests force the CPU backend -> 'auto' resolves off here, on on TPU
+    assert _fused_body_grad(mk("auto")) is False
+    with pytest.raises(ValueError):
+        mk("bogus")
