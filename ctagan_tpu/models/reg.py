@@ -52,7 +52,11 @@ class RegNet(nn.Module):
     # convs (config ``reg_im2col_levels``): the 32/64-channel full-res
     # levels underfill the 128-lane MXU through the direct lowering. Param
     # tree unchanged; exact up to float ordering; plain differentiable XLA.
-    im2col_levels: int = 0
+    # None = auto: 1 level on TPU at batch <= 4 (v5e 512² b=1 bf16 ladder:
+    # R fwd+bwd 33.0 -> 30.8 ms at k=1, k=2/3 give it back; fwd-only
+    # LOSES ~2.4 ms — the win is the backward's degenerate weight-grad
+    # contractions, so training-shape batches only), else 0.
+    im2col_levels: Any = None
 
     @nn.compact
     def __call__(self, img_a, img_b):
@@ -63,6 +67,13 @@ class RegNet(nn.Module):
             taps = (
                 jax.default_backend() == "tpu" and img_a.shape[0] <= 8
             )
+        im2col_levels = self.im2col_levels
+        if im2col_levels is None:
+            im2col_levels = (
+                1
+                if (jax.default_backend() == "tpu" and img_a.shape[0] <= 4)
+                else 0
+            )
         x = jnp.concatenate([img_a, img_b], axis=-1)
         skips = []
         # down path (level i+1; level 1 = full res)
@@ -70,7 +81,7 @@ class RegNet(nn.Module):
             x = RegConv(
                 nf, 3, 1, 1, activation="leaky_relu", use_resnet=True,
                 dtype=self.dtype, taps=taps,
-                im2col=i < self.im2col_levels, name=f"down_{i + 1}",
+                im2col=i < im2col_levels, name=f"down_{i + 1}",
             )(x)
             skips.append(x)
             x = max_pool(x, 2)
@@ -93,15 +104,15 @@ class RegNet(nn.Module):
                 continue
             x = interpolate_bilinear(x, (skip.shape[1], skip.shape[2]))
             x = jnp.concatenate([x, skip], axis=-1)
-            # up stage at level (len(NDF) - i); up_1 is the coarsest
+            # up stage at level (len(NDF) - i); up_1 is the full-res stage
             x = RegConv(
                 nf, 3, 1, 1, dtype=self.dtype,
-                im2col=(len(NDF) - i) <= self.im2col_levels,
+                im2col=(len(NDF) - i) <= im2col_levels,
                 name=f"up_{len(NDF) - i}",
             )(x)
         # refine (full res = level 1)
         x = RegResnetBlock(
-            NUF[-1], dtype=self.dtype, im2col=self.im2col_levels >= 1,
+            NUF[-1], dtype=self.dtype, im2col=im2col_levels >= 1,
             name="refine_res",
         )(x)
         x = RegConv(NUF[-1], 1, 1, 0, dtype=self.dtype, name="refine_conv")(x)

@@ -845,7 +845,10 @@ class RegTrainer(TrainerBase):
         self.r_model = RegNet(
             cfg.input_nc, cfg.input_nc, dtype=_dtype(cfg),
             fuse_up=cfg.reg_fuse_up, tap_convs=_tap_convs(cfg),
-            im2col_levels=cfg.reg_im2col_levels,
+            im2col_levels=(
+                None if cfg.reg_im2col_levels == "auto"
+                else cfg.reg_im2col_levels
+            ),
         )
         self.d_model = Discriminator(cfg.input_nc, dtype=_dtype(cfg))
 
@@ -935,7 +938,10 @@ class HdTrainerStage2(RegTrainer):
         self.r_model = RegNet(
             cfg.input_nc, cfg.input_nc, dtype=_dtype(cfg),
             fuse_up=cfg.reg_fuse_up, tap_convs=_tap_convs(cfg),
-            im2col_levels=cfg.reg_im2col_levels,
+            im2col_levels=(
+                None if cfg.reg_im2col_levels == "auto"
+                else cfg.reg_im2col_levels
+            ),
         )
         # reference defaults: num_D=1, center-crop pyramid (HdGan.py:208,251);
         # both overridable from YAML extras for multi-scale experiments

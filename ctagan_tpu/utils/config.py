@@ -80,9 +80,11 @@ class Config:
     reg_tap_convs: str = "auto"  # tap-decompose the RegNet's MXU-degenerate
     # 512² convs (input 2->32, flow head 32->2; ops/tap_conv.py). 'auto' =
     # on TPU at batch <= 8; 'on'/'off' force. Exact up to float ordering.
-    reg_im2col_levels: int = 0  # top-k RegNet levels run their 3x3 convs as
-    # im2col matmuls (dodges XLA's lane-padded small-C conv lowering).
-    # Exact up to float ordering; measured A/B gates the default.
+    reg_im2col_levels: Any = "auto"  # top-k RegNet levels run their 3x3
+    # convs as im2col matmuls (dodges the degenerate small-C weight-grad
+    # contractions in the backward). 'auto' = 1 level on TPU at batch <= 4
+    # (measured: fused-grad HD step 85.7 -> 83.1 ms, k=2+ gives it back);
+    # an int forces. Exact up to float ordering.
     pad_mode: str = "reflect"  # generator padding: 'reflect' (reference) or
     # 'zero' (fuses into convs, −12% fwd; for from-scratch training)
     fused_body: bool = False  # inference paths (val/test/figures/serving)
@@ -151,8 +153,11 @@ class Config:
             )
         if self.reg_tap_convs not in ("auto", "on", "off"):
             raise ValueError("reg_tap_convs must be 'auto', 'on' or 'off'")
-        if not 0 <= self.reg_im2col_levels <= 7:
-            raise ValueError("reg_im2col_levels must be in 0..7")
+        if self.reg_im2col_levels != "auto" and not (
+            isinstance(self.reg_im2col_levels, int)
+            and 0 <= self.reg_im2col_levels <= 7
+        ):
+            raise ValueError("reg_im2col_levels must be 'auto' or an int 0..7")
         if self.fused_body_grad not in (True, False, "auto", "on", "off"):
             raise ValueError(
                 "fused_body_grad must be a bool, 'auto', 'on' or 'off'"
