@@ -83,6 +83,7 @@ class TrainerBase:
 
     family: str = "base"
     dual_window: bool = False
+    _watchdog = None  # armed by train() when config.stall_timeout > 0
 
     def __init__(self, config: Config, quiet: bool = False):
         if config.context_slices > 1 and self.family != "p2p":
@@ -433,6 +434,15 @@ class TrainerBase:
             log_every=cfg.log_every,
             quiet=self.quiet or not self._is_host0(),
         )
+        # stall watchdog (SURVEY.md §5 failure detection): a wedged device
+        # call never raises, so the emergency-checkpoint handler below can't
+        # see it — the watchdog hard-exits instead and --supervise resumes
+        # from the newest on-disk checkpoint.
+        self._watchdog = None
+        if cfg.stall_timeout and cfg.stall_timeout > 0:
+            from ctagan_tpu.utils.watchdog import Watchdog
+
+            self._watchdog = Watchdog(cfg.stall_timeout).start()
         try:
             self._train_epochs(cfg, loader, logger, max_steps_per_epoch)
         except (KeyboardInterrupt, Exception):
@@ -444,6 +454,10 @@ class TrainerBase:
                     f"\nemergency checkpoint saved at epoch {self._current_epoch}"
                 )
             raise
+        finally:
+            if self._watchdog is not None:
+                self._watchdog.stop()
+                self._watchdog = None
         return self
 
     def _train_epochs(self, cfg, loader, logger, max_steps_per_epoch):
@@ -493,6 +507,8 @@ class TrainerBase:
                 if (i + 1) % cfg.checkpoint_every_iters == 0:
                     self._save(epoch)
                 timer.tick()
+                if self._watchdog is not None:
+                    self._watchdog.beat()
             if not self.quiet and timer.summary():
                 s = timer.summary()
                 print(
@@ -500,7 +516,15 @@ class TrainerBase:
                     f"(p50 {s['p50_ms']:.1f} ms, p90 {s['p90_ms']:.1f} ms)"
                 )
             if epoch % cfg.val_every == 0:
-                psnr_v, ssim_v = self.validate()
+                if self._watchdog is not None:
+                    # eval pays its own cold compile on the first call —
+                    # don't count it against the training-loop heartbeat
+                    self._watchdog.pause()
+                try:
+                    psnr_v, ssim_v = self.validate()
+                finally:
+                    if self._watchdog is not None:
+                        self._watchdog.resume()
                 if not self.quiet:
                     print(f"PSNR: {psnr_v}\nSSIM: {ssim_v}")
                 self._save(epoch, psnr_v, ssim_v)

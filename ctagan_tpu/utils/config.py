@@ -120,6 +120,12 @@ class Config:
     log_every: int = 50  # steps between stdout log lines
     checkpoint_every_iters: int = 40000  # HD mid-epoch checkpoint cadence
     resume: bool = False  # resume from newest checkpoint in save_root
+    stall_timeout: float = 0.0  # >0: arm a per-process stall watchdog — if
+    # no training-loop heartbeat lands for this many seconds (a wedged
+    # tunnel/device call, the observed futex-wait failure mode), hard-exit
+    # with code 42 so `train.py --supervise N` restarts with resume. Set
+    # comfortably above the cold-compile ceiling (160-340 s observed);
+    # 1200 is a good production value. 0 = off.
     generator_ckpt: str = ""  # explicit checkpoint for test()
     stage1_ckpt: str = ""  # HD stage-2 bootstrap (netG/R from stage 1)
     lpips_weights: str = ""  # torch LPIPS(alex) weights; metric gated if empty

@@ -1,0 +1,83 @@
+"""Stall watchdog + supervisor (utils/watchdog.py) and trainer wiring."""
+import time
+
+from ctagan_tpu.utils.watchdog import STALL_EXIT_CODE, Watchdog, supervise
+
+
+def test_watchdog_fires_on_stall():
+    fired = []
+    wd = Watchdog(0.2, on_stall=lambda: fired.append(1), poll_s=0.05)
+    with wd:
+        time.sleep(0.5)
+    assert fired
+
+
+def test_watchdog_heartbeat_prevents_fire():
+    fired = []
+    wd = Watchdog(0.3, on_stall=lambda: fired.append(1), poll_s=0.05)
+    with wd:
+        for _ in range(10):
+            wd.beat()
+            time.sleep(0.08)
+    assert not fired
+
+
+def test_watchdog_pause_suspends_detection():
+    fired = []
+    wd = Watchdog(0.2, on_stall=lambda: fired.append(1), poll_s=0.05)
+    with wd:
+        wd.pause()
+        time.sleep(0.5)  # well past timeout, but paused
+        assert not fired
+        wd.resume()
+        wd.beat()
+    assert not fired
+
+
+def test_supervise_restarts_with_resume_then_succeeds():
+    calls = []
+
+    def fake_run(cmd):
+        calls.append(list(cmd))
+        # first attempt stall-killed, second crashes, third succeeds
+        return {1: STALL_EXIT_CODE, 2: 1}.get(len(calls), 0)
+
+    rc = supervise(["prog", "--config", "c.yaml"], max_restarts=3, run=fake_run)
+    assert rc == 0
+    assert len(calls) == 3
+    assert "--resume" not in calls[0]
+    assert "--resume" in calls[1] and "--resume" in calls[2]
+
+
+def test_supervise_gives_up_after_max_restarts():
+    calls = []
+
+    def fake_run(cmd):
+        calls.append(cmd)
+        return 7
+
+    rc = supervise(["prog"], max_restarts=2, run=fake_run)
+    assert rc == 7
+    assert len(calls) == 3  # initial + 2 restarts
+
+
+def test_trainer_arms_and_disarms_watchdog(tmp_path):
+    """A short CPU training run with stall_timeout armed completes cleanly
+    (no false fire) and tears the watchdog down."""
+    from ctagan_tpu.data.fixtures import make_corpus
+    from ctagan_tpu.train import build_trainer
+    from ctagan_tpu.utils.config import load_config
+
+    root = str(tmp_path)
+    lists = make_corpus(root, n_patients=3, slices_per_patient=2, size=64)
+    cfg = load_config(dict(
+        name="P2p", size=64, batchSize=1, n_epochs=1, decay_epoch=1,
+        save_root=root + "/save/", image_save=root + "/img/",
+        train_list=lists["train"], val_list=lists["val"],
+        test_list=lists["test"], n_cpu=0, seed=0, val_every=5,
+        stall_timeout=120.0,
+    ))
+    tr = build_trainer(cfg)
+    tr.quiet = True
+    tr.train(max_steps_per_epoch=2)
+    assert tr._watchdog is None  # disarmed on exit

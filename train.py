@@ -61,12 +61,43 @@ def main():
         help="Override config test_list — e.g. a per-vendor list from "
         "`python -m ctagan_tpu.data.corpus --equip-split`.",
     )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="Force resume from the newest checkpoint (overrides config).",
+    )
+    parser.add_argument(
+        "--supervise", type=int, default=0, metavar="N",
+        help="Run the command under the crash/stall supervisor: on any "
+        "non-zero exit (crash, OOM-kill, or the config stall_timeout "
+        "watchdog detecting a wedged device call) re-launch up to N times "
+        "with --resume so training continues from the newest checkpoint.",
+    )
     opts = parser.parse_args()
+
+    if opts.supervise > 0:
+        # child processes run the identical command minus --supervise;
+        # supervise() appends --resume from the second attempt on
+        import sys
+
+        from ctagan_tpu.utils.watchdog import supervise
+
+        argv = [sys.executable] + [
+            a for a in sys.argv if not a.startswith("--supervise")
+        ]
+        # drop a split "--supervise N" form too
+        if "--supervise" in sys.argv:
+            i = sys.argv.index("--supervise")
+            argv = [sys.executable] + [
+                a for j, a in enumerate(sys.argv) if j not in (i, i + 1)
+            ]
+        raise SystemExit(supervise(argv, max_restarts=opts.supervise))
 
     from ctagan_tpu.train import build_trainer
     from ctagan_tpu.utils.config import enable_compile_cache, load_config
 
     config = load_config(opts.config)
+    if opts.resume:
+        config.resume = True
     # Cold jit of the train/eval graphs costs 160-340 s through the TPU
     # tunnel; the persistent cache pays it once per machine.
     enable_compile_cache(config.compile_cache_dir)
