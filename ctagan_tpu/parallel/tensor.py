@@ -133,3 +133,57 @@ def infer_tensor_sharded(
         return jax.lax.with_sharding_constraint(g.apply(p, a), out_sharding)
 
     return fwd(sharded_params, xs)
+
+
+def shard_p2p_state_tp(state, mesh: Mesh):
+    """Place a ``steps.P2pState`` on ``mesh`` for TP TRAINING: generator
+    params AND their optimizer moments (Adam mu/nu mirror the param tree, so
+    ``tp_param_specs``'s path rules apply verbatim — ``count`` and the
+    non-body leaves fall through to replicated) in the Megatron layout,
+    everything else (D, rng, EMA shadow) replicated. GSPMD then derives the
+    whole backward: column-parallel conv1 grads stay O-sharded,
+    row-parallel conv2 grads I-sharded, ONE all-reduce per block in each of
+    forward and backward, and the optimizer update is elementwise-local on
+    every shard."""
+    import dataclasses
+
+    def put(tree, specs):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, specs,
+        )
+
+    def replicate(tree):
+        return jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+        )
+
+    return dataclasses.replace(
+        state,
+        g_params=put(state.g_params, tp_param_specs(state.g_params)),
+        g_opt=put(state.g_opt, tp_param_specs(state.g_opt)),
+        d_params=replicate(state.d_params),
+        d_opt=replicate(state.d_opt),
+        rng=jax.device_put(state.rng, NamedSharding(mesh, P())),
+        g_ema=(
+            None if state.g_ema is None
+            else put(state.g_ema, tp_param_specs(state.g_ema))
+        ),
+    )
+
+
+def tp_train_step_fn(g_model, d_model, tx, cfg):
+    """A jitted P2p train step whose generator runs channel-sharded.
+
+    Returns ``step(state, batch, lr) -> (state, losses)``; call with a
+    state placed by ``shard_p2p_state_tp`` and a (replicated or
+    DP-sharded) batch — XLA's SPMD partitioner propagates the param
+    shardings through forward, backward and the Adam update, so this is
+    the plain single-device ``steps.p2p_train_step`` with zero
+    communication code of its own (the GSPMD recipe end-to-end)."""
+    from functools import partial
+
+    from ctagan_tpu.train import steps
+
+    g = g_model.clone(fused_body=False, fused_body_grad=False, tap_heads=False)
+    return jax.jit(partial(steps.p2p_train_step, g, d_model, tx, cfg))
