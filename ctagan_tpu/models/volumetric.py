@@ -21,6 +21,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ctagan_tpu.models.layers import torch_conv_kernel_init
@@ -94,17 +95,46 @@ class Generator3D(nn.Module):
     # (ops.tap_conv.conv3d_tail_taps) computes it as a pointwise matmul +
     # 147 shifted adds, exact and differentiable. None = auto (TPU).
     tap_tail: Any = None
+    # head (3,7,7) conv with C_in=1: same degeneracy on the contraction dim
+    # — im2col to a 147-tap image + one matmul (conv3d_head_taps). The tap
+    # image is 147x the input, so auto gates on its size staying under
+    # ~1.5 GB alongside the TPU check. None = auto; bool forces.
+    tap_head: Any = None
 
     @nn.compact
     def __call__(self, x):
         f = self.base_features
-        h = Conv3d(f, kernel=(3, 7, 7), padding=[(1, 1), (3, 3), (3, 3)],
-                   dtype=self.dtype)(x)
+        taps_head = self.tap_head
+        if taps_head is None:
+            tap_bytes = 2 * 3 * 49 * int(np.prod(x.shape[:4]))
+            taps_head = (
+                jax.default_backend() == "tpu"
+                and x.shape[-1] <= 2
+                and tap_bytes <= 1_500_000_000
+            )
+        if taps_head:
+            from ctagan_tpu.models.layers import _ConvTorchParams
+            from ctagan_tpu.ops.tap_conv import conv3d_head_taps
+
+            k, b = _ConvTorchParams(
+                (3, 7, 7, x.shape[-1], f),
+                torch_conv_kernel_init(), name="Conv3d_0",
+            )()
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+            h = conv3d_head_taps(x, k, b)
+        else:
+            h = Conv3d(f, kernel=(3, 7, 7), padding=[(1, 1), (3, 3), (3, 3)],
+                       dtype=self.dtype, name="Conv3d_0")(x)
         h = instance_norm3d(h)
         h = nn.relu(h)
-        for mult, ds in zip((2, 4), self.depth_strides):
+        # explicit names: the tap-head branch reserves Conv3d_0 through a
+        # param-only module, which would shift flax's auto counter — pin
+        # every Conv3d slot so tap/direct checkpoints interchange
+        for idx, (mult, ds) in enumerate(zip((2, 4), self.depth_strides)):
             h = Conv3d(
-                f * mult, strides=(ds, 2, 2), dtype=self.dtype
+                f * mult, strides=(ds, 2, 2), dtype=self.dtype,
+                name=f"Conv3d_{idx + 1}",
             )(h)
             h = instance_norm3d(h)
             h = nn.relu(h)
@@ -138,7 +168,8 @@ class Generator3D(nn.Module):
             h = conv3d_tail_taps(h, k, b)
         else:
             h = Conv3d(self.output_nc, kernel=(3, 7, 7),
-                       padding=[(1, 1), (3, 3), (3, 3)], dtype=self.dtype)(h)
+                       padding=[(1, 1), (3, 3), (3, 3)], dtype=self.dtype,
+                       name="Conv3d_3")(h)
         return nn.tanh(h)
 
 

@@ -77,6 +77,38 @@ def conv7_head_taps(x, kernel, bias, pad_mode: str = "reflect"):
     return conv_head_taps(x, kernel, bias, pad_mode)
 
 
+def conv3d_head_taps(x, kernel, bias):
+    """(kd, kh, kw) 'same'(zero) 3-D conv for small C_in: im2col slices +
+    one matmul — the volumetric generator's head ((3,7,7), 1→32,
+    models/volumetric.py) wastes the MXU contraction dim through the
+    direct lowering exactly like the 2-D head. The tap image is
+    kd·kh·kw·C_in channels wide, so this is for C_in ~ 1-2 only.
+
+    x: (N, D, H, W, C_in); kernel: (kd, kh, kw, C_in, C_out); b: (C_out,).
+    """
+    n, d, h, w, cin = x.shape
+    kd, kh, kw = kernel.shape[:3]
+    cout = kernel.shape[-1]
+    taps = kd * kh * kw
+    pz, py, px = kd // 2, kh // 2, kw // 2
+    xp = jnp.pad(x, ((0, 0), (pz, pz), (py, py), (px, px), (0, 0)))
+    cols = [
+        xp[:, dz : dz + d, dy : dy + h, dx : dx + w, :]
+        for dz in range(kd)
+        for dy in range(kh)
+        for dx in range(kw)
+    ]
+    s = jnp.concatenate(cols, axis=-1)  # (N, D, H, W, taps*C_in), tap-major
+    k = kernel.astype(s.dtype).reshape(taps * cin, cout)
+    out = jax.lax.dot_general(
+        s.reshape(-1, taps * cin), k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out = out + bias.astype(jnp.float32)
+    return out.reshape(n, d, h, w, cout).astype(x.dtype)
+
+
 def conv3d_tail_taps(x, kernel, bias):
     """(3, 7, 7) 'same'(zero) 3-D conv for small C_out — the volumetric
     generator's tail (models/volumetric.py): matmul into a 147-tap image +

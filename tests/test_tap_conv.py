@@ -234,3 +234,40 @@ def test_regnet_im2col_levels_parity():
         ga, gb = np.asarray(ga), np.asarray(gb)
         scale = max(np.abs(gb).max(), 1e-6 * global_scale)
         assert np.abs(ga - gb).max() <= 2e-2 * scale
+
+
+def test_conv3d_head_taps_matches_direct():
+    from ctagan_tpu.ops.tap_conv import conv3d_head_taps
+
+    x = _rand((1, 4, 12, 12, 1), 51)
+    k = _rand((3, 7, 7, 1, 16), 52, 0.05)
+    b = _rand((16,), 53)
+    got = conv3d_head_taps(x, k, b)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), [(1, 1), (3, 3), (3, 3)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ) + b
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_generator3d_tap_head_parity():
+    from ctagan_tpu.models.volumetric import Generator3D
+
+    g_ref = Generator3D(n_residual_blocks=1, base_features=8,
+                        tap_head=False, tap_tail=False)
+    g_tap = Generator3D(n_residual_blocks=1, base_features=8,
+                        tap_head=True, tap_tail=False)
+    x = _rand((1, 4, 16, 16, 1), 54)
+    params = g_ref.init(jax.random.PRNGKey(0), x)
+    tap_params = g_tap.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(tap_params) == (
+        jax.tree_util.tree_structure(params)
+    )
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(tap_params),
+        jax.tree_util.tree_leaves(params),
+    ):
+        np.testing.assert_array_equal(pa, pb)
+    np.testing.assert_allclose(
+        g_tap.apply(params, x), g_ref.apply(params, x), atol=2e-5
+    )
