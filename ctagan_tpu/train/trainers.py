@@ -423,9 +423,23 @@ class TrainerBase:
         out.update({k: v for k, v in db.items() if k.endswith("_path")})
         return out
 
+    def _check_loader(self, loader):
+        if len(loader) == 0:
+            n_local = self.n_devices // max(1, jax.process_count())
+            raise ValueError(
+                f"train loader is EMPTY: the dataset has fewer samples than "
+                f"one global batch (batchSize {self.config.batchSize} x "
+                f"{max(1, n_local)} local devices = "
+                f"{self.config.batchSize * max(1, n_local)}, drop_last). "
+                "Reduce batchSize, train on fewer devices, or grow the "
+                "training list — silently training on zero batches is never "
+                "what you want."
+            )
+        return loader
+
     def train(self, max_steps_per_epoch: Optional[int] = None):
         cfg = self.config
-        loader = self._train_loader()
+        loader = self._check_loader(self._train_loader())
         logger = TrainLogger(
             cfg.name,
             cfg.total_epochs,
@@ -469,7 +483,8 @@ class TrainerBase:
             if epoch > cfg.n_epochs:
                 self.update_learning_rate()
             if self.dual_window:
-                loader = self._train_loader()  # per-epoch oversampling redraw
+                # per-epoch oversampling redraw
+                loader = self._check_loader(self._train_loader())
                 logger.set_epoch_size(len(loader))
             pending = []  # device-side loss dicts; pulled lazily at log points
 
@@ -494,9 +509,19 @@ class TrainerBase:
                     logger.epoch += 1
                     logger.batch = 1
                     break
-                self.state, losses = self._step(
-                    self.state, db, jnp.float32(self.lr), jnp.float32(self.lr_d)
-                )
+                first_step = epoch == self.start_epoch + 1 and i == 0
+                if first_step and self._watchdog is not None:
+                    # the first call compiles the whole step program —
+                    # minutes through the remote tunnel; not a stall
+                    self._watchdog.pause()
+                try:
+                    self.state, losses = self._step(
+                        self.state, db, jnp.float32(self.lr),
+                        jnp.float32(self.lr_d),
+                    )
+                finally:
+                    if first_step and self._watchdog is not None:
+                        self._watchdog.resume()
                 # never sync the hot loop on fresh results: buffer the device
                 # scalars and convert them once they're ancient history
                 pending.append(losses)
