@@ -11,3 +11,9 @@ from ctagan_tpu.parallel.tensor import (
     shard_params_tp,
     infer_tensor_sharded,
 )
+from ctagan_tpu.parallel.fsdp import (
+    make_fsdp_mesh,
+    fsdp_param_specs,
+    shard_p2p_state_fsdp,
+    fsdp_train_step_fn,
+)
