@@ -78,6 +78,49 @@ def _ema_update(ema, params, decay: float, count=None):
     return jax.tree.map(lambda e, p: e * decay + p * (1.0 - decay), ema, params)
 
 
+def _grad_accum_scan(loss_fn, params, batches, n: int):
+    """Gradient accumulation: mean (loss, aux, grads) of
+    ``loss_fn(params, mb) -> (loss, aux_pytree)`` over ``n`` equal
+    microbatches, via ``lax.scan`` — activation memory of ONE microbatch
+    plus one grad-accumulator param tree, instead of the whole batch's
+    activations at once. ``batches``: dict of arrays whose leading dim is
+    divisible by ``n``. Because every loss term is a per-batch mean over
+    equal-size microbatches, the result equals the full-batch
+    ``value_and_grad`` up to float summation order (locked by
+    tests/test_grad_accum.py). The reference has no analogue (batchSize=1
+    on one GPU); this is the single-chip route to reference-scale
+    *effective* batches when activations exceed HBM (512²+ dual-window HD
+    batches, the 3-D family's volumes).
+    """
+    lead = next(iter(batches.values())).shape[0]
+    assert lead % n == 0, f"grad_accum={n} must divide the batch ({lead})"
+    split = {
+        k: v.reshape((n, lead // n) + v.shape[1:]) for k, v in batches.items()
+    }
+    vg = jax.value_and_grad(loss_fn, has_aux=True)
+    first = {k: v[0] for k, v in split.items()}
+    (loss, aux), grads = vg(params, first)
+
+    def body(carry, mb):
+        loss_s, aux_s, grad_s = carry
+        (l, a), g = vg(params, mb)
+        return (
+            loss_s + l,
+            jax.tree.map(jnp.add, aux_s, a),
+            jax.tree.map(jnp.add, grad_s, g),
+        ), None
+
+    (loss, aux, grads), _ = jax.lax.scan(
+        body, (loss, aux, grads), {k: v[1:] for k, v in split.items()}
+    )
+    inv = 1.0 / n
+    return (
+        loss * inv,
+        jax.tree.map(lambda x: x * inv, aux),
+        jax.tree.map(lambda x: x * inv, grads),
+    )
+
+
 def _ones(pred):
     return jnp.ones_like(pred)
 
@@ -114,36 +157,60 @@ def init_p2p_state(
 
 
 def p2p_train_step(g_model, d_model, tx, cfg, state: P2pState, batch, lr):
-    """cfg: dict(P2P_lamda, Adv_lamda, noise_level). batch: A, B (N,H,W,C)."""
+    """cfg: dict(P2P_lamda, Adv_lamda, noise_level). batch: A, B (N,H,W,C).
+
+    ``grad_accum: K`` (default 1) splits the augmented batch into K equal
+    microbatches and accumulates grads via ``_grad_accum_scan`` — same
+    math as the full-batch step (all loss terms are elementwise means) at
+    one microbatch's activation memory.
+    """
     rng, ka, kb = jax.random.split(state.rng, 3)
     if bool(cfg.get("aligned_aug", False)):
         kb = ka  # opt-in: pair-aligned augmentation (see reg_train_step)
     a = random_affine(ka, batch["A"], cfg["noise_level"])
     b = random_affine(kb, batch["B"], cfg["noise_level"])
+    n_accum = int(cfg.get("grad_accum", 1))
 
-    def g_loss_fn(gp):
-        fake = g_model.apply(gp, a)
-        loss_l1 = L.l1(fake, b) * cfg["P2P_lamda"]
-        pred = d_model.apply(state.d_params, jnp.concatenate([a, fake], -1))
+    def g_loss_mb(gp, mb):
+        fake = g_model.apply(gp, mb["a"])
+        loss_l1 = L.l1(fake, mb["b"]) * cfg["P2P_lamda"]
+        pred = d_model.apply(
+            state.d_params, jnp.concatenate([mb["a"], fake], -1)
+        )
         loss_adv = L.mse(pred, _ones(pred)) * cfg["Adv_lamda"]
         return loss_l1 + loss_adv, (loss_l1, loss_adv)
 
-    (g_loss, (l1v, advv)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-        state.g_params
-    )
+    if n_accum > 1:
+        g_loss, (l1v, advv), g_grads = _grad_accum_scan(
+            g_loss_mb, state.g_params, {"a": a, "b": b}, n_accum
+        )
+    else:
+        (g_loss, (l1v, advv)), g_grads = jax.value_and_grad(
+            g_loss_mb, has_aux=True
+        )(state.g_params, {"a": a, "b": b})
     g_params, g_opt = _apply(tx, g_grads, state.g_opt, state.g_params, lr)
 
     # D update: re-forward with the UPDATED generator (reference order)
-    fake2 = jax.lax.stop_gradient(g_model.apply(g_params, a))
-
-    def d_loss_fn(dp):
+    def d_loss_mb(dp, mb):
+        fake2 = jax.lax.stop_gradient(g_model.apply(g_params, mb["a"]))
         # faithful quirk: the reference scales the *predictions* by Adv_lamda
         # before the MSE (p2pTrainer.py:143-145)
-        pf = d_model.apply(dp, jnp.concatenate([a, fake2], -1)) * cfg["Adv_lamda"]
-        pr = d_model.apply(dp, jnp.concatenate([a, b], -1)) * cfg["Adv_lamda"]
-        return L.mse(pf, _zeros(pf)) + L.mse(pr, _ones(pr))
+        pf = d_model.apply(
+            dp, jnp.concatenate([mb["a"], fake2], -1)
+        ) * cfg["Adv_lamda"]
+        pr = d_model.apply(
+            dp, jnp.concatenate([mb["a"], mb["b"]], -1)
+        ) * cfg["Adv_lamda"]
+        return L.mse(pf, _zeros(pf)) + L.mse(pr, _ones(pr)), ()
 
-    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+    if n_accum > 1:
+        d_loss, _, d_grads = _grad_accum_scan(
+            d_loss_mb, state.d_params, {"a": a, "b": b}, n_accum
+        )
+    else:
+        (d_loss, _), d_grads = jax.value_and_grad(d_loss_mb, has_aux=True)(
+            state.d_params, {"a": a, "b": b}
+        )
     d_params, d_opt = _apply(tx, d_grads, state.d_opt, state.d_params, lr)
 
     g_ema = _ema_update(state.g_ema, g_params, cfg.get("ema_decay", 0.999),
@@ -471,13 +538,20 @@ def reg_train_step(
         )
         return interpolate_bilinear(flow_s, (h, w)) * float(reg_ds)
 
-    def gr_loss_fn(params):
+    # grad_accum: K > 1 accumulates G+R and D grads over K microbatches via
+    # _grad_accum_scan — identical math for stage 1 / RegGAN (all terms are
+    # elementwise means; locked by tests/test_grad_accum.py). Stage-2 note:
+    # the mask-normalized SR_loss2 weights microbatches equally rather than
+    # by per-microbatch mask size (the standard grad-accum convention).
+    n_accum = int(cfg.get("grad_accum", 1))
+
+    def gr_core(params, ra, rb, rb1):
         gp, rp = params
-        fake_b = g_model.apply(gp, real_a)
-        flow = _predict_flow(rp, fake_b, real_b)
+        fake_b = g_model.apply(gp, ra)
+        flow = _predict_flow(rp, fake_b, rb)
         warped = _warp(fake_b, flow)
         sm = smooth_w * smoothing_loss(flow)
-        sr = corr_w * L.l1(warped, real_b)
+        sr = corr_w * L.l1(warped, rb)
         d_out = d_model.apply(state.d_params, fake_b)
         if stage2:
             adv = adv_w * L.gan_loss_multiscale(d_out, True)
@@ -486,7 +560,7 @@ def reg_train_step(
         total = sm + adv + sr
         aux = {"SM_loss": sm, "SR_loss": sr, "adv_loss": adv}
         if stage2 and cfg.get("FM_lamda", 0.0) > 0.0:
-            real_out = d_model.apply(state.d_params, real_b)
+            real_out = d_model.apply(state.d_params, rb)
             fm = cfg["FM_lamda"] * L.feature_matching_loss(
                 d_out, real_out, num_d=len(d_out)
             )
@@ -494,15 +568,31 @@ def reg_train_step(
             aux["FM_loss"] = fm
         if stage2:
             sr2 = cfg["Corr_lamda2"] * L.masked_correlation_loss(
-                warped, real_b, real_b1
+                warped, rb, rb1
             )
             total = total + sr2
             aux["SR_loss2"] = sr2
         return total, (aux, fake_b)
 
-    (gr_loss, (aux, fake_b)), grads = jax.value_and_grad(
-        gr_loss_fn, has_aux=True
-    )((state.g_params, state.r_params))
+    if n_accum > 1:
+        mbs = {"a": real_a, "b": real_b}
+        if real_b1 is not None:
+            mbs["b1"] = real_b1
+
+        def gr_mb(params, mb):
+            total, (aux, _fb) = gr_core(
+                params, mb["a"], mb["b"], mb.get("b1")
+            )
+            return total, aux
+
+        gr_loss, aux, grads = _grad_accum_scan(
+            gr_mb, (state.g_params, state.r_params), mbs, n_accum
+        )
+        fake_b = None  # microbatch-local; D phase re-forwards per microbatch
+    else:
+        (gr_loss, (aux, fake_b)), grads = jax.value_and_grad(
+            gr_core, has_aux=True
+        )((state.g_params, state.r_params), real_a, real_b, real_b1)
     g_grads, r_grads = grads
     g_params, g_opt = _apply(tx, g_grads, state.g_opt, state.g_params, lr)
     r_params, r_opt = _apply(tx, r_grads, state.r_opt, state.r_params, lr)
@@ -512,9 +602,11 @@ def reg_train_step(
     # optimizers before the no_grad re-forward). False (opt-in perf mode,
     # config d_refwd): reuse the G-step's fake_b (pre-update weights) —
     # saves one full G forward (~7.5 ms of the 84 ms fused step at 512²);
-    # identical when lr == 0, one-optimizer-step-stale otherwise.
-    if bool(cfg.get("d_refwd", True)):
-        fake2 = jax.lax.stop_gradient(g_model.apply(g_params, real_a))
+    # identical when lr == 0, one-optimizer-step-stale otherwise. Under
+    # grad_accum > 1 the re-forward happens per microbatch (reference
+    # semantics; d_refwd=False is ignored there).
+    if bool(cfg.get("d_refwd", True)) or fake_b is None:
+        fake2 = None  # computed (per microbatch) inside the D phase
     else:
         fake2 = jax.lax.stop_gradient(fake_b)
 
@@ -524,9 +616,9 @@ def reg_train_step(
     # ~e14 (VERDICT r1 #5). gamma=0 keeps exact reference semantics.
     r1_w = float(cfg.get("r1_gamma", 0.0))
 
-    def d_loss_fn(dp):
-        pf = d_model.apply(dp, fake2)
-        pr = d_model.apply(dp, real_b)
+    def d_core(dp, d_fake, rb):
+        pf = d_model.apply(dp, d_fake)
+        pr = d_model.apply(dp, rb)
         if stage2:
             base = (
                 adv_w
@@ -553,15 +645,29 @@ def reg_train_step(
                 )
             return jnp.sum(s)
 
-        gx = jax.grad(_score)(real_b).astype(jnp.float32)
+        gx = jax.grad(_score)(rb).astype(jnp.float32)
         r1 = 0.5 * r1_w * jnp.mean(
             jnp.sum(jnp.square(gx), axis=tuple(range(1, gx.ndim)))
         )
         return base + r1.astype(base.dtype), r1
 
-    (d_loss, r1_loss), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-        state.d_params
-    )
+    def d_loss_mb(dp, mb):
+        d_fake = mb.get("fake2")
+        if d_fake is None:
+            d_fake = jax.lax.stop_gradient(g_model.apply(g_params, mb["a"]))
+        return d_core(dp, d_fake, mb["b"])
+
+    d_batch = {"a": real_a, "b": real_b}
+    if fake2 is not None:
+        d_batch["fake2"] = fake2
+    if n_accum > 1:
+        d_loss, r1_loss, d_grads = _grad_accum_scan(
+            d_loss_mb, state.d_params, d_batch, n_accum
+        )
+    else:
+        (d_loss, r1_loss), d_grads = jax.value_and_grad(
+            d_loss_mb, has_aux=True
+        )(state.d_params, d_batch)
     d_params, d_opt = _apply(tx, d_grads, state.d_opt, state.d_params, lr_d)
 
     g_ema = _ema_update(state.g_ema, g_params, cfg.get("ema_decay", 0.999),

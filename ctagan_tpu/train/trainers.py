@@ -831,6 +831,7 @@ class P2pTrainer(TrainerBase):
             "Adv_lamda": self.config.Adv_lamda,
             "noise_level": self.config.noise_level,
             "aligned_aug": self.config.aligned_aug,
+            "grad_accum": self.config.grad_accum,
             "ema_decay": self.config.ema_decay or 0.999,
         }
         fn = partial(steps.p2p_train_step, self.g_model, self.d_model, self.tx, cfg)
@@ -860,6 +861,11 @@ class CycTrainer(TrainerBase):
         )
 
     def _compile_step(self):
+        if self.config.grad_accum > 1:
+            raise ValueError(
+                "grad_accum is supported for the P2p and Reg/HD families "
+                "(the CycleGAN step's replay buffers are whole-batch state)"
+            )
         cfg = {
             "Adv_lamda": self.config.Adv_lamda,
             "Cyc_lamda": self.config.Cyc_lamda,
@@ -930,6 +936,7 @@ class RegTrainer(TrainerBase):
             "warp_impl": c.warp_impl,
             "reg_downsample": c.reg_downsample,
             "d_refwd": c.d_refwd,
+            "grad_accum": c.grad_accum,
             "ema_decay": c.ema_decay or 0.999,
         }
 
@@ -1109,6 +1116,11 @@ class P3dTrainer(TrainerBase):
         )
 
     def _compile_step(self):
+        if self.config.grad_accum > 1:
+            raise ValueError(
+                "grad_accum is supported for the P2p and Reg/HD families "
+                "(use a smaller patch_depth for 3-D memory pressure)"
+            )
         cfg = {
             "P2P_lamda": self.config.P2P_lamda,
             "Adv_lamda": self.config.Adv_lamda,

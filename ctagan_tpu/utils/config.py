@@ -104,6 +104,12 @@ class Config:
     # side draws independently — deliberate misalignment the RegNet learns
     # to bridge (HdTrainer.py:131-142 seeds A's transform only; B's draw is
     # left unseeded, so the pair is misaligned by a random relative affine)
+    grad_accum: int = 1  # >1: split each (augmented) batch into this many
+    # microbatches and accumulate grads via lax.scan before the optimizer
+    # update (steps._grad_accum_scan) — reference-scale EFFECTIVE batches
+    # at one microbatch's activation memory. Exact for P2p/RegGAN/HD1
+    # (elementwise-mean losses; equality locked by tests); supported for
+    # the P2p and Reg/HD families
     ema_decay: float = 0.0  # >0: keep an EMA of G params, used for eval
     device_windowing: bool = True  # feed raw uint16 pixels and derive the
     # windowed/full-range views ON DEVICE (ops/windowing.py, bit-matched to
