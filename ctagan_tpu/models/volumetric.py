@@ -27,10 +27,39 @@ from flax import linen as nn
 from ctagan_tpu.models.layers import torch_conv_kernel_init
 
 
-def instance_norm3d(x, eps: float = 1e-5):
+def instance_norm3d(x, eps: float = 1e-5, spatial_axis=None, halo: int = 0):
     """InstanceNorm3d(affine=False): per-(sample, channel) stats over
-    (D, H, W); fp32 statistics for bf16 activations."""
+    (D, H, W); fp32 statistics for bf16 activations.
+
+    ``spatial_axis``: inside a ``shard_map`` that shards D over a mesh axis
+    (parallel/volume.infer_volume_depth_sharded), statistics must cover the
+    full volume exactly once — same ghost-masking + psum scheme as the 2-D
+    ``layers.instance_norm``: each device zeroes its ghost depth slabs
+    (duplicated from neighbours) except the outer halos of the first/last
+    device (the symmetric border extension the reference computation also
+    sees), and the sums combine across the axis."""
     xf = x.astype(jnp.float32)
+    if spatial_axis is not None:
+        d = xf.shape[1]
+        idx = jax.lax.axis_index(spatial_axis)
+        nproc = jax.lax.psum(1, spatial_axis)
+        sl = jnp.arange(d)
+        ghost_top = (sl < halo) & (idx != 0)
+        ghost_bot = (sl >= d - halo) & (idx != nproc - 1)
+        w = jnp.where(ghost_top | ghost_bot, 0.0, 1.0)[None, :, None, None, None]
+        s1 = jax.lax.psum(
+            jnp.sum(xf * w, axis=(1, 2, 3), keepdims=True), spatial_axis
+        )
+        n = jax.lax.psum(
+            jnp.sum(w) * xf.shape[2] * xf.shape[3], spatial_axis
+        )
+        mean = s1 / n
+        s2 = jax.lax.psum(
+            jnp.sum(((xf - mean) ** 2) * w, axis=(1, 2, 3), keepdims=True),
+            spatial_axis,
+        )
+        var = s2 / n
+        return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
     var = jnp.var(xf, axis=(1, 2, 3), keepdims=True)
     return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
@@ -61,14 +90,19 @@ class Conv3d(nn.Module):
 class ResidualBlock3D(nn.Module):
     features: int
     dtype: Any = None
+    spatial_axis: Any = None
+    halo: int = 0
 
     @nn.compact
     def __call__(self, x):
+        _in = lambda h: instance_norm3d(
+            h, spatial_axis=self.spatial_axis, halo=self.halo
+        )
         h = Conv3d(self.features, dtype=self.dtype)(x)
-        h = instance_norm3d(h)
+        h = _in(h)
         h = nn.relu(h)
         h = Conv3d(self.features, dtype=self.dtype)(h)
-        h = instance_norm3d(h)
+        h = _in(h)
         return x + h
 
 
@@ -100,9 +134,21 @@ class Generator3D(nn.Module):
     # image is 147x the input, so auto gates on its size staying under
     # ~1.5 GB alongside the TPU check. None = auto; bool forces.
     tap_head: Any = None
+    # depth-halo sharded inference (parallel/volume.py): mesh axis name the
+    # D dim is sharded over inside a shard_map + the ghost-slab count;
+    # InstanceNorm stats psum across the axis. Requires depth_strides (1,1).
+    spatial_axis: Any = None
+    halo: int = 0
 
     @nn.compact
     def __call__(self, x):
+        if self.spatial_axis is not None and self.depth_strides != (1, 1):
+            raise ValueError(
+                "depth-halo sharding requires depth_strides=(1, 1)"
+            )
+        _in = lambda h: instance_norm3d(
+            h, spatial_axis=self.spatial_axis, halo=self.halo
+        )
         f = self.base_features
         taps_head = self.tap_head
         if taps_head is None:
@@ -126,7 +172,7 @@ class Generator3D(nn.Module):
         else:
             h = Conv3d(f, kernel=(3, 7, 7), padding=[(1, 1), (3, 3), (3, 3)],
                        dtype=self.dtype, name="Conv3d_0")(x)
-        h = instance_norm3d(h)
+        h = _in(h)
         h = nn.relu(h)
         # explicit names: the tap-head branch reserves Conv3d_0 through a
         # param-only module, which would shift flax's auto counter — pin
@@ -136,10 +182,13 @@ class Generator3D(nn.Module):
                 f * mult, strides=(ds, 2, 2), dtype=self.dtype,
                 name=f"Conv3d_{idx + 1}",
             )(h)
-            h = instance_norm3d(h)
+            h = _in(h)
             h = nn.relu(h)
         for _ in range(self.n_residual_blocks):
-            h = ResidualBlock3D(f * 4, dtype=self.dtype)(h)
+            h = ResidualBlock3D(
+                f * 4, dtype=self.dtype,
+                spatial_axis=self.spatial_axis, halo=self.halo,
+            )(h)
         for mult, ds in zip((2, 1), self.depth_strides[::-1]):
             dpad = (1, 2) if ds == 2 else (1, 1)
             h = nn.ConvTranspose(
@@ -150,7 +199,7 @@ class Generator3D(nn.Module):
                 transpose_kernel=True,
                 dtype=self.dtype,
             )(h)
-            h = instance_norm3d(h)
+            h = _in(h)
             h = nn.relu(h)
         taps = self.tap_tail
         if taps is None:

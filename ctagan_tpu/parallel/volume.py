@@ -86,6 +86,91 @@ def infer_volume_3d(
     return acc / np.maximum(norm, 1e-8)
 
 
+def infer_volume_depth_sharded(
+    generator3d,
+    params,
+    volume: np.ndarray,
+    mesh=None,
+    halo: Optional[int] = None,
+):
+    """EXACT depth-sharded 3-D inference: one (D, H, W) series with its D
+    axis sharded over the mesh, run through ``Generator3D`` as a single
+    SPMD program — the 3-D counterpart of
+    ``parallel.halo.infer_spatial_sharded`` and the exact alternative to
+    ``infer_volume_3d``'s Hann-blended windows (whose overlap blend is an
+    approximation; this path has no seams by construction).
+
+    - each device holds an equal depth slab plus ``halo`` ghost slices
+      exchanged with neighbours via ``lax.ppermute`` (one hop each way);
+    - 3-D convs run locally on slab+ghost; ``halo`` >= the network's depth
+      receptive-field radius makes every interior output slice equal the
+      unsharded result;
+    - InstanceNorm3d stats ``psum`` across the axis with ghost slabs
+      masked (models.volumetric.instance_norm3d), so the sharded program
+      equals, to float tolerance, the unsharded generator applied to
+      ``np.pad(volume, halo, mode='symmetric')`` (depth only) cropped back
+      — locked by tests/test_parallel_volume_halo.py;
+    - at the true series top/bottom the ghost slabs are that same
+      symmetric extension.
+
+    ``halo`` defaults to the generator's depth receptive-field radius
+    (head 1 + 2 per residual block + downs/ups/tail at depth stride 1).
+    Requires ``depth_strides == (1, 1)`` and D divisible by the mesh size.
+    """
+    from ctagan_tpu.parallel.mesh import DATA_AXIS
+
+    try:
+        from jax import shard_map  # type: ignore[attr-defined]
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = mesh or make_mesh()
+    n = len(mesh.devices.ravel())
+    d, h, w = volume.shape
+    if halo is None:
+        # depth RF radius at stride 1: head(3,7,7)=1, two down convs 1+1,
+        # body 2 per block, two up convTs 1+1, tail(3,7,7)=1 -> 6 + 2/block
+        halo = 6 + 2 * generator3d.n_residual_blocks
+    if d % n != 0:
+        raise ValueError(f"D={d} must divide over {n} devices")
+    slab = d // n
+    if halo > slab:
+        raise ValueError(
+            f"halo {halo} exceeds slab depth {slab} — use fewer devices or "
+            "a deeper series"
+        )
+    g = generator3d.clone(spatial_axis=DATA_AXIS, halo=halo)
+
+    def fn(p, v_local):
+        x = v_local[None, :, :, :, None]
+        idx = jax.lax.axis_index(DATA_AXIS)
+        from_above = jax.lax.ppermute(
+            x[:, -halo:], DATA_AXIS, [(i, i + 1) for i in range(n - 1)]
+        )
+        from_below = jax.lax.ppermute(
+            x[:, :halo], DATA_AXIS, [(i, i - 1) for i in range(1, n)]
+        )
+        top_fill = x[:, :halo][:, ::-1]
+        bot_fill = x[:, -halo:][:, ::-1]
+        top = jnp.where(idx == 0, top_fill, from_above)
+        bot = jnp.where(idx == n - 1, bot_fill, from_below)
+        xg = jnp.concatenate([top, x, bot], axis=1)
+        out = g.apply(p, xg)
+        return out[0, halo : halo + slab, :, :, 0]
+
+    sharded = jax.jit(
+        shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS, None, None)),
+            out_specs=P(DATA_AXIS, None, None),
+        )
+    )
+    vol = jnp.asarray(np.ascontiguousarray(volume, np.float32))
+    return np.asarray(sharded(params, vol))
+
+
 def _hann2d(tile_h: int, tile_w: int) -> np.ndarray:
     wy = np.hanning(tile_h + 2)[1:-1]
     wx = np.hanning(tile_w + 2)[1:-1]
