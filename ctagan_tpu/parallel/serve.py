@@ -58,12 +58,39 @@ def infer_series(trainer, series_dir: str, out_root: str) -> str:
     if getattr(trainer, "family", "") == "p3d":
         from ctagan_tpu.parallel.volume import infer_volume_3d
 
-        fake = infer_volume_3d(
-            lambda p, x: g_model.apply(p, x),
-            params,
-            volume,
-            depth=cfg.patch_depth,
-        )
+        if getattr(cfg, "infer_depth_sharded", False):
+            # EXACT whole-series inference: depth axis sharded over (a
+            # submesh of) the device mesh with halo exchange — no Hann
+            # blending. Submesh sized so each slab covers the depth
+            # receptive field; n=1 degenerates to the exact unsharded
+            # whole-volume forward.
+            from ctagan_tpu.parallel.mesh import make_mesh
+            from ctagan_tpu.parallel.volume import infer_volume_depth_sharded
+
+            import jax
+
+            halo = 6 + 2 * int(getattr(g_model, "n_residual_blocks", 6))
+            n = min(len(jax.devices()), max(1, volume.shape[0] // halo))
+            while n > 1 and volume.shape[0] % n:
+                n -= 1
+            try:
+                fake = infer_volume_depth_sharded(
+                    g_model, params, volume, mesh=make_mesh(n=n), halo=halo
+                )
+            except ValueError as e:  # e.g. depth_downsample model variants
+                print(f"infer_depth_sharded unavailable ({e}); "
+                      "falling back to Hann depth windows")
+                fake = infer_volume_3d(
+                    lambda p, x: g_model.apply(p, x), params, volume,
+                    depth=cfg.patch_depth,
+                )
+        else:
+            fake = infer_volume_3d(
+                lambda p, x: g_model.apply(p, x),
+                params,
+                volume,
+                depth=cfg.patch_depth,
+            )
     elif (ctx := int(getattr(cfg, "context_slices", 1))) > 1:
         # 2.5-D models: stack +-k neighboring slices on channels (edge clamp)
         half = ctx // 2

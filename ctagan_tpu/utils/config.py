@@ -119,6 +119,10 @@ class Config:
     # reference per-slice arithmetic, >1 batches the forward+metrics
     # (per-sample metrics via vmap; faster on the tunnel-latency floor)
     patch_depth: int = 8  # 3-D family (P3d): slices per depth window
+    infer_depth_sharded: bool = False  # P3d --mode infer: EXACT whole-series
+    # synthesis with the depth axis halo-sharded over the mesh
+    # (parallel.volume.infer_volume_depth_sharded) instead of Hann-blended
+    # depth windows; requires depth_downsample 1 (falls back with a warning)
     depth_downsample: int = 1  # P3d: depth reduction in the generator body
     # (1 = anisotropic default, full-depth body; 2/4 for thin-slice series)
     data_parallel: bool = True  # shard batch over all local devices

@@ -89,3 +89,29 @@ def test_infer_series_with_context_slices(tmp_path):
     series_dir = os.path.join(str(tmp_path), "c", "patient0", "ST0", "SE0")
     out = infer_series(t, series_dir, cfg.image_save)
     assert len(os.listdir(out)) == 4
+
+
+def test_infer_series_depth_sharded_p3d(tmp_path):
+    """--mode infer wiring for infer_depth_sharded: the P3d series path
+    routes through the exact depth-halo program (submesh auto-sized; n=1
+    degenerates to the exact whole-volume forward) and writes a full SE2."""
+    import os
+
+    from ctagan_tpu.data.fixtures import make_corpus
+    from ctagan_tpu.parallel.serve import infer_series
+    from ctagan_tpu.train import build_trainer
+    from ctagan_tpu.utils.config import load_config
+
+    lists = make_corpus(
+        str(tmp_path / "c"), n_patients=1, slices_per_patient=8, size=32
+    )
+    cfg = load_config(dict(
+        name="P3d", size=32, patch_depth=4, infer_depth_sharded=True,
+        train_list=lists["train"], val_list=lists["val"],
+        test_list=lists["test"], save_root=str(tmp_path / "m") + "/",
+        image_save=str(tmp_path / "i") + "/", n_cpu=1, data_parallel=False,
+    ))
+    t = build_trainer(cfg, quiet=True)
+    series_dir = os.path.join(str(tmp_path), "c", "patient0", "ST0", "SE0")
+    out = infer_series(t, series_dir, cfg.image_save)
+    assert len(os.listdir(out)) == 8
