@@ -49,6 +49,26 @@ def make_fsdp_mesh(
     return Mesh(np.array(devices), (FSDP_AXIS,))
 
 
+def make_dp_fsdp_mesh(
+    dp: int, fsdp: int, devices: Optional[Sequence] = None
+) -> Mesh:
+    """2-D (data, fsdp) hybrid: state shards 1/fsdp and replicates across
+    ``dp`` groups, batch shards over BOTH axes (dp*fsdp-way data
+    parallelism). The standard large-scale layout when full ZeRO-3 over
+    every chip would make the per-layer all-gathers span slow links: put
+    ``fsdp`` on the innermost ICI axis, ``dp`` across slices/DCN — param
+    all-gathers stay intra-slice while the gradient all-reduce (once per
+    step) crosses."""
+    from ctagan_tpu.parallel.mesh import DATA_AXIS
+
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < dp * fsdp:
+        raise ValueError(f"need {dp * fsdp} devices, have {len(devices)}")
+    arr = np.array(devices[: dp * fsdp]).reshape(dp, fsdp)
+    return Mesh(arr, (DATA_AXIS, FSDP_AXIS))
+
+
 def _spec_for(leaf, n: int) -> P:
     """Shard the trailing-most dim divisible by ``n``; replicate otherwise."""
     if not hasattr(leaf, "ndim") or leaf.ndim == 0:
@@ -110,8 +130,13 @@ def shard_p2p_state_fsdp(state, mesh: Mesh):
 
 
 def batch_sharding_fsdp(mesh: Mesh) -> NamedSharding:
-    """Batch leading-dim sharding over the fsdp axis (data parallelism and
-    state sharding share the one axis, as in standard JAX FSDP meshes)."""
+    """Batch leading-dim sharding: over the fsdp axis on a 1-D mesh (data
+    parallelism and state sharding share the axis, as in standard JAX FSDP
+    meshes), over (data, fsdp) jointly on the 2-D hybrid mesh."""
+    from ctagan_tpu.parallel.mesh import DATA_AXIS
+
+    if DATA_AXIS in mesh.shape:
+        return NamedSharding(mesh, P((DATA_AXIS, FSDP_AXIS)))
     return NamedSharding(mesh, P(FSDP_AXIS))
 
 

@@ -192,3 +192,47 @@ def test_fsdp_second_step_stays_sharded_and_finite(p2p_state):
         leaf.nbytes for leaf in jax.tree.leaves(state)
         if hasattr(leaf, "nbytes")
     ) / 4
+
+
+def test_dp_fsdp_hybrid_matches_unsharded(p2p_state):
+    """2-D (dp=2, fsdp=4) hybrid: state sharded 1/4 + replicated across the
+    2 dp groups, batch 8-way data-parallel over both axes — still equals
+    the single-device step."""
+    from ctagan_tpu.parallel.fsdp import make_dp_fsdp_mesh
+
+    g, d, state, tx = p2p_state
+    cfg = {"P2P_lamda": 10.0, "Adv_lamda": 1.0, "noise_level": 1}
+    rng = np.random.default_rng(11)
+    batch_np = {
+        k: rng.uniform(-1, 1, (8, 64, 64, 1)).astype(np.float32)
+        for k in ("A", "B")
+    }
+    lr = jnp.float32(1e-4)
+
+    from functools import partial
+
+    ref_state, ref_losses = jax.jit(
+        partial(steps.p2p_train_step, g, d, tx, cfg)
+    )(state, {k: jnp.asarray(v) for k, v in batch_np.items()}, lr)
+
+    mesh = make_dp_fsdp_mesh(dp=2, fsdp=4)
+    fs = shard_p2p_state_fsdp(state, mesh)
+    bsh = batch_sharding_fsdp(mesh)
+    batch = {k: jax.device_put(v, bsh) for k, v in batch_np.items()}
+    step = fsdp_train_step_fn(g, d, tx, cfg)
+    new_state, losses = step(fs, batch, lr)
+    for k in ref_losses:
+        np.testing.assert_allclose(
+            float(losses[k]), float(ref_losses[k]), rtol=2e-5, atol=1e-5
+        )
+    k1 = new_state.g_params["params"]["ResidualBlock_0"]["ConvTorch_0"][
+        "Conv_0"
+    ]["kernel"]
+    assert not k1.sharding.is_fully_replicated
+    # state memory: 1/4 sharded (not 1/8 — replicated across the dp=2 axis)
+    total = sum(
+        leaf.nbytes for leaf in jax.tree.leaves(state)
+        if hasattr(leaf, "nbytes")
+    )
+    peak = state_bytes_per_device(fs)
+    assert peak < total / 4 * 1.10
