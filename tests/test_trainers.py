@@ -224,10 +224,15 @@ def test_hd_stage1_then_stage2(tmp_path, corpus):
     assert np.isfinite(agg["PSNRw"])
 
 
-def test_data_parallel_p2p_on_8_devices(tmp_path, corpus):
+def test_data_parallel_p2p_on_8_devices(tmp_path, tmp_path_factory):
+    # Needs >= one global batch (8 devices x batchSize 1) of train slices or
+    # the empty-loader guard (trainers._check_loader) correctly refuses to run.
     assert len(jax.devices()) == 8
+    root = tmp_path_factory.mktemp("dp_train_corpus")
+    # make_corpus splits paths evenly over (train, val, test): 24 slices -> 8 each.
+    lists = make_corpus(str(root), n_patients=2, slices_per_patient=12, size=32)
     cfg = _config(
-        tmp_path, corpus, name="P2p", size=64, data_parallel=True, batchSize=1
+        tmp_path, lists, name="P2p", size=64, data_parallel=True, batchSize=1
     )
     t = P2pTrainer(cfg, quiet=True)
     assert t.n_devices == 8
