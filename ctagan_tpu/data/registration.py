@@ -142,6 +142,25 @@ def _writeback_series(paths: List[str], hu_vol: np.ndarray):
         write_dicom(ds, path)
 
 
+def register_demons_volumes(
+    fixed: np.ndarray, moving: np.ndarray, **kw
+) -> np.ndarray:
+    """Deformable alignment of ``moving`` onto ``fixed`` with the
+    framework's own multi-scale diffeomorphic demons
+    (ops/registration3d.py) — the runnable stand-in for the reference's
+    ANTs SyN stage (data_process.py:622-624). A rigid phase-correlation
+    pre-shift absorbs the couch translation so the demons pyramid only
+    carries the residual deformable component. Returns the warped volume
+    (same shape/HU scale as ``moving``)."""
+    from ctagan_tpu.ops.registration3d import demons_register, warp3d
+
+    n = min(fixed.shape[0], moving.shape[0])
+    shift = phase_correlation_shift(fixed[:n], moving[:n])
+    rigid = np.roll(moving, tuple(shift), axis=(0, 1, 2)).astype(np.float32)
+    phi = demons_register(fixed.astype(np.float32), rigid, **kw)
+    return np.asarray(warp3d(rigid, phi))
+
+
 def align_patient(
     root: str,
     patient: str,
@@ -149,16 +168,20 @@ def align_patient(
     ants_module=None,
     min_slices: int = 5,
     keep_first_unwarped: bool = True,
+    method: str = "auto",
 ):
     """Full per-patient offline alignment — the reference's ``aligement``
     body for one series pair (data_process.py:523-653):
 
     1. load SE0 (fixed NCCT) / SE1 (moving CTA), longest series in each dir;
     2. skip series with fewer than ``min_slices`` slices (:577-580);
-    3. ANTs SyN deformable registration through the NIfTI-view emulation
-       (``ants_module`` injects a mock for testing; real antspyx used when
-       importable), falling back to FFT phase-correlation rigid translation
-       when neither is available;
+    3. deformable registration: ANTs SyN through the NIfTI-view emulation
+       when available (``ants_module`` injects a mock for testing; real
+       antspyx used when importable), otherwise the framework's OWN
+       diffeomorphic demons registrar (``register_demons_volumes``) — the
+       default runnable path is deformable, matching the reference's
+       transform class. ``method`` forces one of
+       ``auto | syn | demons | translation``;
     4. write SE0 back through the round trip (net identity — the axis-fix
        ledger cancels) and SE1 from the warped volume, with the reference's
        quirk that the NIfTI z=0 slice is written UNWARPED (:634-636,
@@ -174,11 +197,17 @@ def align_patient(
     fixed, fixed_paths = _load_series(se0_dir)
     moving, paths = _load_series(se1_dir)
 
+    if method not in ("auto", "syn", "demons", "translation"):
+        raise ValueError(f"unknown registration method {method!r}")
     ants = ants_module
-    if ants is None and ants_available():
+    if ants is None and method in ("auto", "syn") and ants_available():
         import ants as _ants
 
         ants = _ants
+    if method == "syn" and ants is None:
+        raise ImportError("method='syn' requires antspyx (or a mock module)")
+    if method in ("demons", "translation"):
+        ants = None
 
     if ants is not None:
         nii_f = dicom_to_nii(fixed.astype(np.float32))
@@ -198,12 +227,22 @@ def align_patient(
             warped_nii = np.array(warped_nii)
             warped_nii[:, :, 0] = nii_m[:, :, 0]
         warped = nii_to_dicom(warped_nii)
-        method = "syn"
-    else:
+        used = "syn"
+    elif method == "translation":
         n = min(fixed.shape[0], moving.shape[0])
         shift = phase_correlation_shift(fixed[:n], moving[:n])
         warped = np.roll(moving, tuple(shift), axis=(0, 1, 2))
-        method = "translation"
+        used = "translation"
+    else:
+        warped = register_demons_volumes(
+            fixed.astype(np.float32), moving.astype(np.float32)
+        )
+        if keep_first_unwarped:
+            # the reference leaves the NIfTI z=0 slice unwarped (:634-636);
+            # in DICOM slice order that is the LAST slice (z reversed)
+            warped = np.array(warped)
+            warped[-1] = moving[-1]
+        used = "demons"
 
     # SE0 writeback: identity through the ledger — same in-place rewrite
     # the reference performs (:608-625)
@@ -211,7 +250,7 @@ def align_patient(
         fixed_paths, nii_to_dicom(dicom_to_nii(fixed.astype(np.float32)))
     )
     _writeback_series(paths, warped)
-    return method
+    return used
 
 
 def register_syn(root: str, patient: str, st: str = "ST0", ants_module=None):

@@ -21,4 +21,11 @@ from ctagan_tpu.ops.quantize import (
     quantize_weight_per_channel,
 )
 from ctagan_tpu.ops.fused_up import fused_up_concat_conv
+from ctagan_tpu.ops.registration3d import (
+    compose,
+    demons_register,
+    exp_field,
+    smooth3d,
+    warp3d,
+)
 from ctagan_tpu.ops import losses, metrics

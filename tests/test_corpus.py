@@ -254,7 +254,9 @@ def test_align_patient_skips_short_series(tmp_path):
 
 def test_align_patient_translation_fallback(tmp_path):
     _patterned_tree(str(tmp_path), slices=6, shift=(5, -3), offset=0)
-    method = align_patient(str(tmp_path), "pat0", ants_module=None)
+    method = align_patient(
+        str(tmp_path), "pat0", ants_module=None, method="translation"
+    )
     assert method == "translation"
     se1_after, _ = _load_series(
         os.path.join(str(tmp_path), "pat0", "ST0", "SE1")
