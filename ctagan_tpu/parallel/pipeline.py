@@ -10,6 +10,23 @@ S-1 tick fill. The schedule runs as a ``lax.scan`` over M + S - 1 ticks
 inside one ``shard_map`` — a single compiled SPMD program, no host
 involvement between ticks.
 
+Stage math is DERIVED FROM THE FLAX MODULES, not re-implemented: each stage
+applies the same ``ResidualBlock`` / ``ConvTorch`` / ``ConvTransposeTorch``
+classes the ``Generator`` composes (models/layers.py), bound to the exact
+param subtrees the Generator creates — so the layer semantics live in one
+place and checkpoints interchange bit-for-bit.
+
+TRAINING: the pipelined forward is an ordinary differentiable JAX function
+(``shard_map`` + ``scan`` + ``ppermute`` all carry transpose rules), so the
+GPipe *backward* schedule is not hand-written either — ``jax.grad`` of the
+forward IS the reverse schedule: the scan transpose replays ticks in
+reverse with per-tick (= per-microbatch) activation stashes, and the
+``ppermute`` transpose carries stage-to-stage cotangents backward over the
+same ring. ``pp_train_step_fn`` runs the family's plain train step
+(train/steps.py) with the generator swapped for a ``PPGenerator`` adapter;
+gradients land stage-sharded, the Adam update is shard-local. Grad parity
+with the sequential step is locked by tests/test_parallel_pipeline.py.
+
 Deliberate scope: only the body is staged. Head/down/up/tail are <17% of
 the FLOPs, heterogeneous (they would unbalance the stages), and here run
 replicated on every device — each stage redundantly computes them, which
@@ -25,6 +42,7 @@ one chip, with microbatches amortizing the fill/drain bubble.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Sequence
 
 import jax
@@ -35,9 +53,15 @@ try:  # jax >= 0.4.35 promotes shard_map out of experimental
     from jax import shard_map  # type: ignore[attr-defined]
 except ImportError:
     from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ctagan_tpu.models.layers import instance_norm, reflect_pad
+from ctagan_tpu.models.layers import (
+    ConvTorch,
+    ConvTransposeTorch,
+    ResidualBlock,
+    instance_norm,
+    reflect_pad,
+)
 
 PP_AXIS = "pp"
 
@@ -50,61 +74,66 @@ def make_pp_mesh(n_stages: int, devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.array(devices[:n_stages]), (PP_AXIS,))
 
 
-def _conv(x, k, b, stride: int = 1, pad: int = 0):
-    dn = ("NHWC", "HWIO", "NHWC")
-    y = jax.lax.conv_general_dilated(
-        x, k, (stride, stride), [(pad, pad)] * 2, dimension_numbers=dn
-    )
-    return y + b
+# ---------------------------------------------------------------------------
+# Stage functions: the Generator's own Flax modules applied to its own
+# param subtrees (Generator.__call__ structure, models/generator.py)
+# ---------------------------------------------------------------------------
+
+def _apply_block(generator, bp, h):
+    """One residual-body block — the actual ``ResidualBlock`` module."""
+    return ResidualBlock(
+        generator.base_features * 4,
+        dtype=generator.dtype,
+        pad_mode=generator.pad_mode,
+    ).apply({"params": bp}, h)
 
 
-def _convt2x(x, k, b):
-    """ConvTranspose2d(3, s=2, p=1, output_padding=1) — matches
-    ConvTransposeTorch (models/layers.py): transpose-kernel layout
-    (kh, kw, O, I), asymmetric padding (lo=1, hi=2)."""
-    y = jax.lax.conv_transpose(
-        x, k, (2, 2), [(1, 2), (1, 2)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
-    )
-    return y + b
-
-
-def _resblock(h, bp, zero: bool):
-    """Functional ResidualBlock (models/layers.py:248-307 semantics)."""
-    k1 = bp["ConvTorch_0"]["Conv_0"]["kernel"]
-    b1 = bp["ConvTorch_0"]["Conv_0"]["bias"]
-    k2 = bp["ConvTorch_1"]["Conv_0"]["kernel"]
-    b2 = bp["ConvTorch_1"]["Conv_0"]["bias"]
-    pad = (lambda a: a) if zero else (lambda a: reflect_pad(a, 1))
-    p = 1 if zero else 0
-    y = jax.nn.relu(instance_norm(_conv(pad(h), k1, b1, pad=p)))
-    return h + instance_norm(_conv(pad(y), k2, b2, pad=p))
-
-
-def _head_down(x, pr, zero: bool):
-    p3 = 3 if zero else 0
-    pad7 = (lambda a: a) if zero else (lambda a: reflect_pad(a, 3))
-    h = _conv(pad7(x), pr["ConvTorch_0"]["Conv_0"]["kernel"],
-              pr["ConvTorch_0"]["Conv_0"]["bias"], pad=p3)
+def _head_down(generator, pr, x):
+    """c7s1-64 head + the two stride-2 down convs (replicated prologue)."""
+    g = generator
+    f = g.base_features
+    zero = g.pad_mode == "zero"
+    if zero:
+        h = ConvTorch(f, 7, padding=3, dtype=g.dtype).apply(
+            {"params": pr["ConvTorch_0"]}, x
+        )
+    else:
+        h = ConvTorch(f, 7, dtype=g.dtype).apply(
+            {"params": pr["ConvTorch_0"]}, reflect_pad(x, 3)
+        )
     h = jax.nn.relu(instance_norm(h))
-    for i in (1, 2):
-        h = _conv(h, pr[f"ConvTorch_{i}"]["Conv_0"]["kernel"],
-                  pr[f"ConvTorch_{i}"]["Conv_0"]["bias"], stride=2, pad=1)
+    for i, mult in enumerate((2, 4)):
+        h = ConvTorch(f * mult, 3, stride=2, padding=1, dtype=g.dtype).apply(
+            {"params": pr[f"ConvTorch_{i + 1}"]}, h
+        )
         h = jax.nn.relu(instance_norm(h))
     return h
 
 
-def _up_tail(h, pr, zero: bool):
-    for i in (0, 1):
-        ct = pr[f"ConvTransposeTorch_{i}"]["ConvTranspose_0"]
-        h = _convt2x(h, ct["kernel"], ct["bias"])
+def _up_tail(generator, pr, h):
+    """Transposed-conv up path + 7x7 tail + tanh (replicated epilogue)."""
+    g = generator
+    f = g.base_features
+    zero = g.pad_mode == "zero"
+    for i, mult in enumerate((2, 1)):
+        h = ConvTransposeTorch(f * mult, dtype=g.dtype).apply(
+            {"params": pr[f"ConvTransposeTorch_{i}"]}, h
+        )
         h = jax.nn.relu(instance_norm(h))
-    p3 = 3 if zero else 0
-    pad7 = (lambda a: a) if zero else (lambda a: reflect_pad(a, 3))
-    h = _conv(pad7(h), pr["ConvTorch_3"]["Conv_0"]["kernel"],
-              pr["ConvTorch_3"]["Conv_0"]["bias"], pad=p3)
+    if zero:
+        h = ConvTorch(g.output_nc, 7, padding=3, dtype=g.dtype).apply(
+            {"params": pr["ConvTorch_3"]}, h
+        )
+    else:
+        h = ConvTorch(g.output_nc, 7, dtype=g.dtype).apply(
+            {"params": pr["ConvTorch_3"]}, reflect_pad(h, 3)
+        )
     return jnp.tanh(h)
 
+
+# ---------------------------------------------------------------------------
+# Param layout: (S, k)-stacked body + replicated rest
+# ---------------------------------------------------------------------------
 
 def _stack_body_params(params, n_blocks: int, n_stages: int):
     """(S, k)-stacked per-stage block params from a Generator param tree."""
@@ -121,44 +150,65 @@ def _stack_body_params(params, n_blocks: int, n_stages: int):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *stages)  # (S, k, ...)
 
 
-def pipeline_generator_forward(
-    generator,
-    params,
-    x,
-    mesh: Optional[Mesh] = None,
-    microbatches: int = 2,
-):
-    """Generator forward with the residual body pipelined over ``mesh``.
-
-    ``x``: (B, H, W, C) with B divisible by ``microbatches``. Returns the
-    full-batch output, equal to ``generator.apply(params, x)`` up to float
-    reordering.
-    """
-    mesh = mesh or make_pp_mesh(len(jax.devices()))
-    n_stages = len(mesh.devices.ravel())
-    n_blocks = generator.n_residual_blocks
-    zero = generator.pad_mode == "zero"
-    stacked = _stack_body_params(params, n_blocks, n_stages)
+def pp_pack_params(params, n_blocks: int, n_stages: int):
+    """Generator param tree -> {'body': (S, k, ...) stacked, 'rest': ...}."""
     pr = params["params"]
     rest = {k: v for k, v in pr.items() if not k.startswith("ResidualBlock_")}
-    xs = jnp.asarray(x)
-    B = xs.shape[0]
-    if B % microbatches:
-        raise ValueError(f"batch {B} must divide into {microbatches} microbatches")
+    return {
+        "body": _stack_body_params(params, n_blocks, n_stages),
+        "rest": rest,
+    }
+
+
+def pp_unpack_params(packed, n_blocks: int):
+    """Inverse of ``pp_pack_params`` -> a normal Generator param tree."""
+    body = packed["body"]  # (S, k, ...) leaves
+    leaves0 = jax.tree.leaves(body)
+    s, k = leaves0[0].shape[0], leaves0[0].shape[1]
+    assert s * k == n_blocks, (s, k, n_blocks)
+    out = dict(packed["rest"])
+    for i in range(n_blocks):
+        out[f"ResidualBlock_{i}"] = jax.tree.map(
+            lambda a: a[i // k, i % k], body
+        )
+    return {"params": out}
+
+
+def _place_packed(packed, mesh: Mesh):
+    """body sharded on the pp axis, rest replicated."""
+    body = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P(PP_AXIS))),
+        packed["body"],
+    )
+    rest = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P())), packed["rest"]
+    )
+    return {"body": body, "rest": rest}
+
+
+# ---------------------------------------------------------------------------
+# The GPipe program (forward; backward falls out of autodiff)
+# ---------------------------------------------------------------------------
+
+def _pp_program(generator, mesh: Mesh, microbatches: int):
+    """shard_map'd ``(packed_params, x) -> y`` running the GPipe schedule."""
+    n_stages = len(mesh.devices.ravel())
     M = microbatches
 
-    def fn(stage_params, rest_p, xin):
-        # stage_params leaves: (1, k, ...) local shard — squeeze the stage dim
-        sp = jax.tree.map(lambda a: a[0], stage_params)
+    def fn(body_params, rest_p, xin):
+        # body_params leaves: (1, k, ...) local shard — drop the stage dim
+        sp = jax.tree.map(lambda a: a[0], body_params)
         s = jax.lax.axis_index(PP_AXIS)
-        h0 = _head_down(xin, rest_p, zero)  # replicated prologue
+        h0 = _head_down(generator, rest_p, xin)  # replicated prologue
         mb = h0.shape[0] // M
         h_mb = h0.reshape(M, mb, *h0.shape[1:])
 
         def blocks(a):
-            k = sp["ConvTorch_0"]["Conv_0"]["kernel"].shape[0]
+            k = jax.tree.leaves(sp)[0].shape[0]
             for i in range(k):
-                a = _resblock(a, jax.tree.map(lambda t: t[i], sp), zero)
+                a = _apply_block(
+                    generator, jax.tree.map(lambda t: t[i], sp), a
+                )
             return a
 
         carry = jnp.zeros_like(h_mb[0])
@@ -195,15 +245,127 @@ def pipeline_generator_forward(
             jnp.where(s == n_stages - 1, out, jnp.zeros_like(out)), PP_AXIS
         )
         body = out.reshape(h0.shape)
-        return _up_tail(body, rest_p, zero)  # replicated epilogue
+        return _up_tail(generator, rest_p, body)  # replicated epilogue
 
-    fwd = jax.jit(
-        shard_map(
-            fn,
-            mesh=mesh,
-            in_specs=(P(PP_AXIS), P(), P()),
-            out_specs=P(),
-            check_vma=False,
-        )
+    return shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(PP_AXIS), P(), P()),
+        out_specs=P(),
+        check_vma=False,
     )
-    return fwd(stacked, rest, xs)
+
+
+def pipeline_generator_forward(
+    generator,
+    params,
+    x,
+    mesh: Optional[Mesh] = None,
+    microbatches: int = 2,
+):
+    """Generator forward with the residual body pipelined over ``mesh``.
+
+    ``x``: (B, H, W, C) with B divisible by ``microbatches``. Returns the
+    full-batch output, equal to ``generator.apply(params, x)`` up to float
+    reordering.
+    """
+    mesh = mesh or make_pp_mesh(len(jax.devices()))
+    n_stages = len(mesh.devices.ravel())
+    packed = pp_pack_params(params, generator.n_residual_blocks, n_stages)
+    xs = jnp.asarray(x)
+    if xs.shape[0] % microbatches:
+        raise ValueError(
+            f"batch {xs.shape[0]} must divide into {microbatches} microbatches"
+        )
+    prog = _pp_program(generator, mesh, microbatches)
+    fwd = jax.jit(lambda pk, a: prog(pk["body"], pk["rest"], a))
+    return fwd(_place_packed(packed, mesh), xs)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-parallel TRAINING
+# ---------------------------------------------------------------------------
+
+class PPGenerator:
+    """Adapter exposing ``.apply(packed_params, x)`` over the pipelined
+    program, so the family train steps in train/steps.py run UNCHANGED with
+    the generator pipelined — the steps only ever call ``g_model.apply``.
+    """
+
+    def __init__(self, generator, mesh: Mesh, microbatches: int):
+        self.generator = generator
+        self.mesh = mesh
+        self.microbatches = microbatches
+        self._prog = _pp_program(generator, mesh, microbatches)
+
+    def apply(self, packed_params, x):
+        return self._prog(packed_params["body"], packed_params["rest"], x)
+
+
+def shard_p2p_state_pp(state, generator, mesh: Mesh):
+    """Re-lay a ``steps.P2pState`` for pipeline training: g_params and the
+    Adam moments go to the stacked-and-stage-sharded layout (moments mirror
+    params, so the same pack applies), D/rng replicate. The packed zeros of
+    a fresh Adam state equal the sequential init, so grads-then-update
+    equals the sequential step (locked by test)."""
+    n_blocks = generator.n_residual_blocks
+    n_stages = len(mesh.devices.ravel())
+    pack = lambda t: pp_pack_params(t, n_blocks, n_stages)
+    g_opt = state.g_opt
+    # optax.scale_by_adam state: (count, mu, nu) with mu/nu mirroring params
+    g_opt_pp = g_opt._replace(mu=pack(g_opt.mu), nu=pack(g_opt.nu))
+    repl = lambda t: jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P())), t
+    )
+    g_opt_pp = g_opt_pp._replace(
+        mu=_place_packed(g_opt_pp.mu, mesh),
+        nu=_place_packed(g_opt_pp.nu, mesh),
+        count=jax.device_put(g_opt_pp.count, NamedSharding(mesh, P())),
+    )
+    return dataclasses.replace(
+        state,
+        g_params=_place_packed(pack(state.g_params), mesh),
+        g_opt=g_opt_pp,
+        d_params=repl(state.d_params),
+        d_opt=repl(state.d_opt),
+        rng=jax.device_put(state.rng, NamedSharding(mesh, P())),
+        g_ema=None if state.g_ema is None else _place_packed(
+            pack(state.g_ema), mesh
+        ),
+    )
+
+
+def unshard_p2p_state_pp(state, generator):
+    """Inverse re-layout: back to the sequential ``P2pState`` (for
+    checkpoints / eval with the plain generator)."""
+    n_blocks = generator.n_residual_blocks
+    unpack = lambda t: pp_unpack_params(jax.device_get(t), n_blocks)
+    g_opt = state.g_opt._replace(
+        mu=unpack(state.g_opt.mu), nu=unpack(state.g_opt.nu)
+    )
+    return dataclasses.replace(
+        state,
+        g_params=unpack(state.g_params),
+        g_opt=g_opt,
+        g_ema=None if state.g_ema is None else unpack(state.g_ema),
+    )
+
+
+def pp_train_step_fn(g_model, d_model, tx, cfg, mesh: Mesh, microbatches: int):
+    """A jitted P2p train step with the generator PIPELINED end-to-end —
+    forward through the GPipe schedule, backward through its autodiff
+    transpose (reverse-tick scan + reversed ppermute ring), optimizer
+    update shard-local on the stage-sharded params.
+
+    Call with a state placed by ``shard_p2p_state_pp`` and a replicated
+    batch; returns ``step(state, batch, lr) -> (state, losses)``. Grads
+    equal the sequential step's up to float ordering (locked by
+    tests/test_parallel_pipeline.py).
+    """
+    from functools import partial
+
+    from ctagan_tpu.train import steps
+
+    g = g_model.clone(fused_body=False, fused_body_grad=False, tap_heads=False)
+    ppg = PPGenerator(g, mesh, microbatches)
+    return jax.jit(partial(steps.p2p_train_step, ppg, d_model, tx, cfg))
