@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 from flax import serialization
 
@@ -39,8 +39,16 @@ def save_checkpoint(
 ) -> str:
     os.makedirs(save_root, exist_ok=True)
     path = os.path.join(save_root, checkpoint_name(prefix, epoch, psnr, ssim))
-    with open(path, "wb") as f:
+    # atomic: a stall-kill (watchdog os._exit, OOM-kill, power loss) landing
+    # mid-write must never leave a truncated file at the final name — the
+    # supervisor resumes from the newest checkpoint, so a torn write there
+    # would wedge every retry (observed in the wedge-drill test)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(state))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
     return path
 
 
@@ -52,22 +60,27 @@ def load_checkpoint(path: str, target: Any) -> Any:
     return serialization.from_bytes(target, data)
 
 
-def find_latest_checkpoint(
-    save_root: str, prefix: str
-) -> Optional[Tuple[str, int]]:
-    """Newest checkpoint (by epoch) for a prefix; returns (path, epoch).
+def find_checkpoints(save_root: str, prefix: str) -> List[Tuple[str, int]]:
+    """All checkpoints for a prefix, newest epoch first; (path, epoch) pairs.
     Recognizes both msgpack files and orbax directories (``.ocp`` suffix)."""
     if not os.path.isdir(save_root):
-        return None
-    best: Optional[Tuple[str, int]] = None
+        return []
+    out: List[Tuple[str, int]] = []
     for fn in os.listdir(save_root):
         name = fn[:-4] + ".ckpt" if fn.endswith(".ocp") else fn
         m = _CKPT_RE.match(name)
         if m and m.group("prefix") == prefix:
-            ep = int(m.group("epoch"))
-            if best is None or ep > best[1]:
-                best = (os.path.join(save_root, fn), ep)
-    return best
+            out.append((os.path.join(save_root, fn), int(m.group("epoch"))))
+    out.sort(key=lambda pe: pe[1], reverse=True)
+    return out
+
+
+def find_latest_checkpoint(
+    save_root: str, prefix: str
+) -> Optional[Tuple[str, int]]:
+    """Newest checkpoint (by epoch) for a prefix; returns (path, epoch)."""
+    found = find_checkpoints(save_root, prefix)
+    return found[0] if found else None
 
 
 # ---------------------------------------------------------------------------

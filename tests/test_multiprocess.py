@@ -147,7 +147,13 @@ t = build_trainer(cfg, quiet=True)
 t.train(max_steps_per_epoch=2)
 leaves = jax.tree.leaves(jax.device_get(t.state.g_params))
 checksum = float(sum(np.float64(np.sum(np.asarray(x, np.float64))) for x in leaves))
-ckpts = sorted(os.listdir(cfg.save_root)) if os.path.isdir(cfg.save_root) else []
+# host 0 writes the checkpoints; barrier so the other host's listing below
+# can't race the final save (shared-storage convention)
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("ckpts-written")
+ckpts = sorted(f for f in os.listdir(cfg.save_root)
+               if not f.endswith(".tmp")) \
+    if os.path.isdir(cfg.save_root) else []  # .tmp: in-flight atomic write on the other host
 print("RESULT " + json.dumps({
     "process": jax.process_index(),
     "n_global_devices": jax.device_count(),
@@ -191,7 +197,11 @@ sums = {}
 for net in ("g_params", "r_params", "d_params"):
     leaves = jax.tree.leaves(jax.device_get(getattr(t.state, net)))
     sums[net] = float(sum(np.float64(np.sum(np.asarray(x, np.float64))) for x in leaves))
-ckpts = sorted(os.listdir(cfg.save_root)) if os.path.isdir(cfg.save_root) else []
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("ckpts-written")
+ckpts = sorted(f for f in os.listdir(cfg.save_root)
+               if not f.endswith(".tmp")) \
+    if os.path.isdir(cfg.save_root) else []  # .tmp: in-flight atomic write on the other host
 print("RESULT " + json.dumps({
     "process": jax.process_index(),
     "n_global_devices": jax.device_count(),

@@ -110,7 +110,10 @@ def test_supervised_run_recovers_from_wedge(tmp_path):
         save_root=root + "/save/", image_save=root + "/img/",
         train_list=lists["train"], val_list=lists["val"],
         test_list=lists["test"], n_cpu=0, seed=0, val_every=9,
-        stall_timeout=20.0, checkpoint_every_iters=1,
+        # 45s: past what a loaded CI box needs between beats (a 20s timeout
+        # produced false stall-kills during per-step checkpoint writes when
+        # the full suite ran concurrently) but far below the 600s wedge
+        stall_timeout=45.0, checkpoint_every_iters=1,
     )
     cfgp = os.path.join(root, "cfg.yaml")
     yaml.safe_dump(cfg, open(cfgp, "w"))
