@@ -101,6 +101,12 @@ class TrainLogger:
                             for k in sorted(self.losses)
                         ]
                     )
+                # live view over the CSVs (visdom replacement) — the page
+                # self-refreshes, so regenerating here (once per epoch, off
+                # the hot loop) is all the "server" there is
+                from ctagan_tpu.utils.dashboard import write_dashboard
+
+                write_dashboard(self.log_dir, self.name)
             self.losses = {}
             self.epoch += 1
             self.batch = 1
