@@ -17,3 +17,11 @@ from ctagan_tpu.parallel.fsdp import (
     shard_p2p_state_fsdp,
     fsdp_train_step_fn,
 )
+from ctagan_tpu.parallel.spatial import (
+    make_sp_mesh,
+    make_dp_sp_mesh,
+    sp_batch_sharding,
+    shard_batch_sp,
+    shard_p2p_state_sp,
+    sp_train_step_fn,
+)

@@ -57,6 +57,142 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), arrs)
 
 
+class MeshPlan:
+    """A trainer-facing parallelism plan built from ``config.mesh``.
+
+    ``kind`` names the (single) model axis in play — 'dp' (none), 'fsdp',
+    'tp' or 'sp'; ``batch_scale`` is how many ways the batch shards (the
+    data×fsdp extent product — tp/sp replicate the batch across their
+    axis); ``mesh`` carries the named axes the sharding helpers expect.
+    The reference has no analogue (single pinned GPU, train.py:14); this
+    is the config/CLI surface over parallel/{mesh,fsdp,tensor,spatial}.py.
+    """
+
+    def __init__(self, mesh: Mesh, kind: str, batch_scale: int):
+        self.mesh = mesh
+        self.kind = kind
+        self.batch_scale = batch_scale
+
+    @property
+    def model_sharded(self) -> bool:
+        """True when params/activations shard (Pallas fused kernels are
+        single-device programs and must be gated off the train path)."""
+        return self.kind != "dp"
+
+    def batch_sharding(self) -> NamedSharding:
+        if self.kind == "fsdp":
+            from ctagan_tpu.parallel.fsdp import batch_sharding_fsdp
+
+            return batch_sharding_fsdp(self.mesh)
+        if self.kind == "sp":
+            from ctagan_tpu.parallel.spatial import sp_batch_sharding
+
+            return sp_batch_sharding(self.mesh)
+        # dp / tp: leading dim over the data axis when present, replicated
+        # otherwise (pure-tp mesh)
+        if DATA_AXIS in self.mesh.axis_names:
+            return NamedSharding(self.mesh, P(DATA_AXIS))
+        return NamedSharding(self.mesh, P())
+
+    def shard_batch(self, batch):
+        """Place a host batch dict per the plan (multi-process aware).
+        Array leaves only — ``*_path`` string leaves are dropped, matching
+        ``shard_batch`` (the jitted steps take arrays only)."""
+        arrs = {k: v for k, v in batch.items() if not k.endswith("_path")}
+        if self.kind == "sp":
+            from ctagan_tpu.parallel.spatial import shard_batch_sp
+
+            return shard_batch_sp(arrs, self.mesh)
+        sh = self.batch_sharding()
+        if jax.process_count() > 1:
+            return {
+                k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                for k, v in arrs.items()
+            }
+        return {
+            k: jax.device_put(np.asarray(v), sh) for k, v in arrs.items()
+        }
+
+    def shard_state(self, state):
+        """Place a train-state dataclass per the plan: fsdp = ZeRO-3 layout,
+        tp = Megatron generator layout, sp/dp = replicated."""
+        if self.kind == "fsdp":
+            from ctagan_tpu.parallel.fsdp import shard_state_fsdp
+
+            return shard_state_fsdp(state, self.mesh)
+        if self.kind == "tp":
+            from ctagan_tpu.parallel.tensor import shard_state_tp
+
+            return shard_state_tp(state, self.mesh)
+        import dataclasses
+
+        rep = NamedSharding(self.mesh, P())
+        put = lambda t: jax.tree.map(lambda x: jax.device_put(x, rep), t)
+        out = {
+            f.name: put(getattr(state, f.name))
+            for f in dataclasses.fields(state)
+            if getattr(state, f.name) is not None
+        }
+        return dataclasses.replace(state, **out)
+
+
+def plan_from_spec(spec, devices: Optional[Sequence] = None) -> MeshPlan:
+    """Build a MeshPlan from a ``config.mesh`` dict — keys dp/fsdp/tp/sp,
+    each an axis extent (default 1). At most one model axis (fsdp/tp/sp)
+    may exceed 1; dp composes with any of them. ``{}`` or ``{dp: N}`` is a
+    plain data-parallel mesh."""
+    spec = dict(spec or {})
+    unknown = set(spec) - {"dp", "fsdp", "tp", "sp"}
+    if unknown:
+        raise ValueError(f"unknown mesh axes {sorted(unknown)} "
+                         "(have dp, fsdp, tp, sp)")
+    sizes = {k: int(spec.get(k, 1)) for k in ("dp", "fsdp", "tp", "sp")}
+    if any(v < 1 for v in sizes.values()):
+        raise ValueError(f"mesh axis extents must be >= 1, got {spec}")
+    model_axes = [k for k in ("fsdp", "tp", "sp") if sizes[k] > 1]
+    if len(model_axes) > 1:
+        raise ValueError(
+            f"at most one of fsdp/tp/sp may exceed 1, got {spec} "
+            "(dp composes with any single one)"
+        )
+    if devices is None:
+        devices = jax.devices()
+    total = sizes["dp"] * sizes["fsdp"] * sizes["tp"] * sizes["sp"]
+    if total > len(devices):
+        raise ValueError(
+            f"mesh {spec} needs {total} devices, have {len(devices)}"
+        )
+    dp = sizes["dp"]
+    if not model_axes:
+        return MeshPlan(make_mesh(devices, n=dp), "dp", dp)
+    kind = model_axes[0]
+    n = sizes[kind]
+    if dp == 1:
+        # 1-D model mesh; for fsdp the batch still shards over the axis
+        if kind == "fsdp":
+            from ctagan_tpu.parallel.fsdp import make_fsdp_mesh
+
+            return MeshPlan(make_fsdp_mesh(devices, n=n), "fsdp", n)
+        if kind == "tp":
+            from ctagan_tpu.parallel.tensor import make_tp_mesh
+
+            return MeshPlan(make_tp_mesh(devices, n=n), "tp", 1)
+        from ctagan_tpu.parallel.spatial import make_sp_mesh
+
+        return MeshPlan(make_sp_mesh(devices, n=n), "sp", 1)
+    if kind == "fsdp":
+        from ctagan_tpu.parallel.fsdp import make_dp_fsdp_mesh
+
+        return MeshPlan(make_dp_fsdp_mesh(dp, n, devices), "fsdp", dp * n)
+    if kind == "tp":
+        from ctagan_tpu.parallel.tensor import make_dp_tp_mesh
+
+        return MeshPlan(make_dp_tp_mesh(dp, n, devices), "tp", dp)
+    from ctagan_tpu.parallel.spatial import make_dp_sp_mesh
+
+    return MeshPlan(make_dp_sp_mesh(dp, n, devices), "sp", dp)
+
+
 def pad_batch_to(batch, target: int):
     """Pad the leading axis up to ``target`` (repeat last element) so a
     ragged final batch still shards evenly; returns (padded, valid_count)."""

@@ -76,10 +76,39 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _check_h_divisible(batch, mesh: Mesh) -> None:
+    """Fail early with a clear message when H does not divide the spatial
+    extent (otherwise GSPMD surfaces it as an opaque device_put error)."""
+    sp = mesh.shape[SPATIAL_AXIS]
+    for k, v in batch.items():
+        if k.endswith("_path"):
+            continue
+        arr = np.asarray(v)
+        if arr.ndim >= 2 and arr.shape[1] % sp != 0:
+            raise ValueError(
+                f"spatial parallelism needs H divisible by the spatial mesh "
+                f"extent: batch[{k!r}] has H={arr.shape[1]} but "
+                f"mesh['{SPATIAL_AXIS}']={sp}"
+            )
+
+
 def shard_batch_sp(batch, mesh: Mesh):
     """Place a host NHWC batch dict with H sharded (and N data-sharded on a
-    2-D mesh); ``*_path`` string leaves pass through."""
+    2-D mesh); ``*_path`` string leaves pass through.
+
+    Multi-process (DCN scale-out) mirrors ``mesh.shard_batch``: each host
+    passes its *local* shard and the global array is assembled with
+    ``jax.make_array_from_process_local_data``.
+    """
+    _check_h_divisible(batch, mesh)
     sh = sp_batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return {
+            k: v
+            if k.endswith("_path")
+            else jax.make_array_from_process_local_data(sh, np.asarray(v))
+            for k, v in batch.items()
+        }
     return {
         k: v if k.endswith("_path") else jax.device_put(np.asarray(v), sh)
         for k, v in batch.items()

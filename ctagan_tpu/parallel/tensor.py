@@ -135,6 +135,46 @@ def infer_tensor_sharded(
     return fwd(sharded_params, xs)
 
 
+def shard_state_tp(state, mesh: Mesh):
+    """Place ANY train-state dataclass (``P2pState``/``RegState``/...) for
+    TP training: the generator's params, Adam moments and EMA shadow go to
+    the Megatron layout (``tp_param_specs`` path rules — non-body leaves
+    fall through to replicated), every other field (R, D, their optimizers,
+    rng, replay buffers) replicates. GSPMD derives the sharded backward and
+    the shard-local optimizer update from the placement alone, so the
+    family's plain jitted train step runs unchanged — this is what makes TP
+    a config-level feature for the HD three-net family, not just P2p."""
+    import dataclasses
+
+    def put(tree, specs):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, specs,
+        )
+
+    def replicate(tree):
+        return jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+        )
+
+    # every generator param/opt/EMA tree TP-shards (CycState's g_opt spans
+    # the (a2b, b2a) tuple — the path rules apply leaf-wise so both shard)
+    tp_fields = {
+        "g_params", "g_opt", "g_ema",
+        "g_a2b_params", "g_b2a_params", "g_ema_b2a",
+    }
+    out = {}
+    for f in dataclasses.fields(state):
+        v = getattr(state, f.name)
+        if v is None:
+            continue
+        if f.name in tp_fields:
+            out[f.name] = put(v, tp_param_specs(v))
+        else:
+            out[f.name] = replicate(v)
+    return dataclasses.replace(state, **out)
+
+
 def shard_p2p_state_tp(state, mesh: Mesh):
     """Place a ``steps.P2pState`` on ``mesh`` for TP TRAINING: generator
     params AND their optimizer moments (Adam mu/nu mirror the param tree, so

@@ -41,12 +41,7 @@ from ctagan_tpu.models import (
     RegNet,
 )
 from ctagan_tpu.ops.metrics import masked_psnr, ssim
-from ctagan_tpu.parallel.mesh import (
-    batch_sharding,
-    make_mesh,
-    pad_batch_to,
-    shard_batch,
-)
+from ctagan_tpu.parallel.mesh import pad_batch_to
 from ctagan_tpu.train import steps
 from ctagan_tpu.train.evaluation import DicomWriteback, aggregate, evaluate_pair
 from ctagan_tpu.utils.checkpoint import (
@@ -92,8 +87,26 @@ class TrainerBase:
             )
         self.config = config
         self.quiet = quiet
-        self.mesh = make_mesh() if config.data_parallel else make_mesh(n=1)
+        # parallelism plan: an explicit config `mesh:` spec ({dp/fsdp/tp/sp})
+        # wins; otherwise the legacy data_parallel behavior (all local
+        # devices on a 1-D data mesh)
+        from ctagan_tpu.parallel.mesh import plan_from_spec
+
+        if config.mesh:
+            self.plan = plan_from_spec(config.mesh)
+            if not quiet and self._is_host0():
+                ax = dict(zip(self.plan.mesh.axis_names,
+                              self.plan.mesh.devices.shape))
+                print(f"mesh plan: {ax} (kind={self.plan.kind}, "
+                      f"batch x{self.plan.batch_scale})")
+        else:
+            n_dp = len(jax.devices()) if config.data_parallel else 1
+            self.plan = plan_from_spec({"dp": n_dp})
+        self.mesh = self.plan.mesh
         self.n_devices = len(self.mesh.devices.ravel())
+        # batch feed scale: how many ways batches shard (dp*fsdp extents —
+        # tp/sp replicate the batch across their axis)
+        self.batch_scale = self.plan.batch_scale
         self.lr = float(config.lr)
         self.lr_d = float(config.lrd)
         self.start_epoch = int(config.epoch)
@@ -107,6 +120,11 @@ class TrainerBase:
         self.g_eval = self._build_eval_generator()
         self._build_models()
         self.state, self.tx = self._init_state()
+        if config.mesh:
+            # explicit plan: place the whole train state (fsdp = ZeRO-3
+            # layout, tp = Megatron generator layout, dp/sp = replicated);
+            # the family's plain jitted step then runs sharded via GSPMD
+            self.state = self.plan.shard_state(self.state)
         self._step = self._compile_step()
         self._gen_fwd = jax.jit(lambda p, a: self.g_eval.apply(p, a))
 
@@ -168,13 +186,22 @@ class TrainerBase:
 
     # -- per-family hooks ---------------------------------------------------
     def _build_generator(self):
+        # Pallas fused kernels are single-device programs; with a model
+        # axis active (fsdp/tp/sp) GSPMD must partition the whole step, so
+        # the generator stays on its plain XLA path (tap/im2col routes are
+        # plain XLA and partition fine)
+        fused_grad = (
+            False if self.plan.model_sharded
+            else _fused_body_grad(self.config)
+        )
         return Generator(
             self.config.input_nc * self.config.context_slices,
             self.config.output_nc,
             dtype=_dtype(self.config),
             remat=self.config.remat,
             pad_mode=self.config.pad_mode,
-            fused_body_grad=_fused_body_grad(self.config),
+            fused_body_grad=fused_grad,
+            tap_heads=False if self.plan.model_sharded else None,
         )
 
     def _build_eval_generator(self):
@@ -182,7 +209,7 @@ class TrainerBase:
         ``fused_body`` it enables the Pallas fused conv+IN body (param tree
         unchanged); families whose generator lacks the flag (3-D) keep the
         training model."""
-        if not getattr(self.config, "fused_body", False):
+        if not getattr(self.config, "fused_body", False) or self.plan.model_sharded:
             return self.g_model
         import dataclasses
 
@@ -220,6 +247,14 @@ class TrainerBase:
         # explicitly-loaded weights supersede any EMA shadow
         if getattr(self.state, "g_ema", None) is not None:
             self.state = self.state.replace(g_ema=params)
+        if self.config.mesh:
+            self.state = self.plan.shard_state(self.state)
+
+    def _place_state(self, state):
+        """Host state tree -> device placement per the parallelism plan."""
+        if self.config.mesh:
+            return self.plan.shard_state(state)
+        return jax.device_put(state)
 
     # -- data ---------------------------------------------------------------
     def _make_train_dataset(self, rng):
@@ -268,7 +303,7 @@ class TrainerBase:
             if jax.process_count() > 1
             else None
         )
-        n_local = self.n_devices // max(1, jax.process_count())
+        n_local = self.batch_scale // max(1, jax.process_count())
         return PrefetchLoader(
             ds,
             batch_size=self.config.batchSize * max(1, n_local),
@@ -337,23 +372,42 @@ class TrainerBase:
         return load_checkpoint(path, target)
 
     def _try_resume(self):
-        found = find_latest_checkpoint(self.config.save_root, self.ckpt_prefix)
-        if not found:
-            return
-        path, epoch = found
+        from ctagan_tpu.utils.checkpoint import find_checkpoints
+
         target = {
             "state": jax.device_get(self.state),
             "epoch": 0,
             "lr": 0.0,
             "lr_d": 0.0,
         }
-        payload = self._load_payload(path, target)
-        self.state = jax.device_put(payload["state"])
-        self.start_epoch = int(payload["epoch"])
-        self.lr = float(payload["lr"])
-        self.lr_d = float(payload["lr_d"])
-        if not self.quiet:
-            print(f"resumed from {path} (epoch {self.start_epoch})")
+        # newest first; a checkpoint torn by a crash landing mid-write
+        # (pre-atomic files, or a dying filesystem) must not wedge every
+        # supervised retry — quarantine it and fall back to the next one
+        for path, _epoch in find_checkpoints(
+            self.config.save_root, self.ckpt_prefix
+        ):
+            try:
+                payload = self._load_payload(path, target)
+            except Exception as e:  # corrupt/truncated: skip, keep evidence
+                quarantined = path + ".corrupt"
+                try:
+                    os.replace(path, quarantined)
+                except OSError:
+                    quarantined = path
+                print(
+                    f"[resume] checkpoint {path} unreadable ({e}) — "
+                    f"quarantined as {quarantined}, trying the next newest",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                continue
+            self.state = self._place_state(payload["state"])
+            self.start_epoch = int(payload["epoch"])
+            self.lr = float(payload["lr"])
+            self.lr_d = float(payload["lr_d"])
+            if not self.quiet:
+                print(f"resumed from {path} (epoch {self.start_epoch})")
+            return
 
     def load_generator(self, path: str):
         if path.endswith((".pth", ".pt")):
@@ -374,9 +428,9 @@ class TrainerBase:
     # -- loops --------------------------------------------------------------
     def _device_batch(self, batch):
         # pad to the per-process feed size (== global batch when single-host)
-        n_local = max(1, self.n_devices // max(1, jax.process_count()))
+        n_local = max(1, self.batch_scale // max(1, jax.process_count()))
         batch, _ = pad_batch_to(batch, self.config.batchSize * n_local)
-        db = shard_batch(self.mesh, batch)
+        db = self.plan.shard_batch(batch)
         return self._window_device_batch(db)
 
     def _window_device_batch(self, db):
@@ -425,7 +479,7 @@ class TrainerBase:
 
     def _check_loader(self, loader):
         if len(loader) == 0:
-            n_local = self.n_devices // max(1, jax.process_count())
+            n_local = self.batch_scale // max(1, jax.process_count())
             raise ValueError(
                 f"train loader is EMPTY: the dataset has fewer samples than "
                 f"one global batch (batchSize {self.config.batchSize} x "
@@ -552,10 +606,55 @@ class TrainerBase:
                         self._watchdog.resume()
                 if not self.quiet:
                     print(f"PSNR: {psnr_v}\nSSIM: {ssim_v}")
+                self._log_val_dashboard(epoch, psnr_v, ssim_v)
                 self._save(epoch, psnr_v, ssim_v)
             else:
                 self._save(epoch)
         return self
+
+    def _log_val_dashboard(self, epoch: int, psnr_v: float, ssim_v: float):
+        """Validation observability (visdom replacement, utils.py:62-66):
+        append the val metrics CSV, refresh the newest qualitative panel
+        (input | synthesized | target on the first val slice), regenerate
+        ``dashboard.html``. Best-effort — a rendering hiccup must never
+        kill a training run."""
+        cfg = self.config
+        if not self._is_host0() or not cfg.save_root:
+            return
+        try:
+            from ctagan_tpu.utils.dashboard import (
+                append_val_csv,
+                write_dashboard,
+            )
+            from ctagan_tpu.utils.figures import save_qualitative_panel
+
+            append_val_csv(
+                cfg.save_root, cfg.name, epoch, float(psnr_v), float(ssim_v)
+            )
+            loader = PrefetchLoader(
+                self.val_dataset, batch_size=1, num_threads=0
+            )
+            batch = next(iter(loader), None)
+            if batch is not None:
+                a, b = self._val_pairs(batch)
+                a_n = self._eval_input(jnp.asarray(np.asarray(a)))
+                b_n = self._eval_input(jnp.asarray(np.asarray(b)))
+                fake = self._gen_fwd(self._g_params(), a_n)
+                a_np, f_np, b_np = (
+                    np.asarray(t, np.float32) for t in (a_n, fake, b_n)
+                )
+                imgs = [
+                    a_np[0, ..., a_np.shape[-1] // 2],  # center context slice
+                    f_np[0, ..., 0],
+                    b_np[0, ..., 0],
+                ]
+                save_qualitative_panel(
+                    cfg.save_root, f"{cfg.name}_latest_panel", imgs
+                )
+            write_dashboard(cfg.save_root, cfg.name)
+        except Exception as e:  # observability only — never fatal
+            if not self.quiet:
+                print(f"\n[dashboard] skipped: {e}", file=sys.stderr)
 
     def _val_pairs(self, batch):
         if self.dual_window and "A2" in batch:
@@ -573,14 +672,12 @@ class TrainerBase:
         each host's full loop for the host-0 aggregate print."""
         x = np.asarray(x)
         if (
-            self.n_devices > 1
+            self.batch_scale > 1
             and jax.process_count() == 1
             and x.ndim >= 1
-            and x.shape[0] % self.n_devices == 0
+            and x.shape[0] % self.batch_scale == 0
         ):
-            from ctagan_tpu.parallel.mesh import batch_sharding
-
-            return jax.device_put(x, batch_sharding(self.mesh))
+            return jax.device_put(x, self.plan.batch_sharding())
         return jnp.asarray(x)
 
     @staticmethod
@@ -1077,6 +1174,8 @@ class HdTrainerStage2(RegTrainer):
         self.state = self.state.replace(
             g_params=jax.device_put(g_params), r_params=jax.device_put(r_params)
         )
+        if self.config.mesh:
+            self.state = self.plan.shard_state(self.state)
         return self
 
 

@@ -1,0 +1,219 @@
+"""Config-level parallelism (`mesh:` spec) — the product surface over
+parallel/{mesh,fsdp,tensor,spatial}.py.
+
+Locks VERDICT r2 #2: a user can run FSDP/TP/SP/hybrid training straight from
+`train.py --config` (reference analogue: none — train.py:14 pins one GPU),
+the sharded steps equal the DP/single-device steps, and the flagship HD
+three-net family trains under FSDP and DP x FSDP.
+"""
+import jax
+import numpy as np
+import pytest
+
+from ctagan_tpu.data.fixtures import make_corpus
+from ctagan_tpu.parallel.fsdp import state_bytes_per_device
+from ctagan_tpu.parallel.mesh import plan_from_spec
+from ctagan_tpu.train.trainers import HdTrainerStage1, P2pTrainer
+from ctagan_tpu.utils.config import load_config
+
+from tests.test_trainers import _config
+
+pytestmark = pytest.mark.slow  # compile-dominated 8-device e2e loops
+
+
+@pytest.fixture(scope="module")
+def corpus8(tmp_path_factory):
+    # >= one 8-device global batch of train slices (24 -> 8 per split)
+    root = tmp_path_factory.mktemp("mesh_corpus")
+    return make_corpus(str(root), n_patients=2, slices_per_patient=12, size=32)
+
+
+def test_plan_from_spec_validation():
+    with pytest.raises(ValueError, match="unknown mesh axes"):
+        plan_from_spec({"pp": 2})
+    with pytest.raises(ValueError, match="at most one of"):
+        plan_from_spec({"fsdp": 2, "tp": 2})
+    with pytest.raises(ValueError, match="devices"):
+        plan_from_spec({"dp": 4, "fsdp": 4})  # 16 > 8
+    with pytest.raises(ValueError, match=">= 1"):
+        plan_from_spec({"dp": 0})
+    p = plan_from_spec({})
+    assert p.kind == "dp" and p.batch_scale == 1
+    p = plan_from_spec({"dp": 2, "fsdp": 4})
+    assert p.kind == "fsdp" and p.batch_scale == 8
+    assert dict(zip(p.mesh.axis_names, p.mesh.devices.shape)) == {
+        "data": 2, "fsdp": 4,
+    }
+    p = plan_from_spec({"tp": 4})
+    assert p.kind == "tp" and p.batch_scale == 1 and p.model_sharded
+
+
+def test_config_mesh_validation():
+    with pytest.raises(ValueError, match="unknown mesh axes"):
+        load_config({"mesh": {"bogus": 2}})
+    with pytest.raises(ValueError, match="at most one"):
+        load_config({"mesh": {"tp": 2, "sp": 2}})
+    with pytest.raises(ValueError, match="int >= 1"):
+        load_config({"mesh": {"dp": "two"}})
+    cfg = load_config({"mesh": {"dp": 2, "fsdp": 4}})
+    assert cfg.mesh == {"dp": 2, "fsdp": 4}
+
+
+def _final_g(trainer):
+    return jax.device_get(trainer.state.g_params)
+
+
+def _tree_allclose(a, b, lr=2e-4, rtol=2e-4, atol=2e-5, strict_frac=0.75):
+    """Adam-aware post-step equality: one optimizer step after identical
+    grads is NOT bitwise-stable across shardings — elements whose gradient
+    is eps-dominated normalize ulp-level reduction-order noise up to a full
+    lr-sized update. So: (1) every element within one Adam step (3*lr hard
+    bound — a wrong batch/lr/grad moves params by up to 2*lr on ~every
+    element), and (2) the bulk (>= strict_frac) matches at float-noise
+    tolerance — a semantic bug flips nearly all elements out of the strict
+    band, reduction-order noise only the eps-dominated tail.
+
+    The strict band applies to kernels (ndim >= 2) only: conv BIASES that
+    feed an InstanceNorm have mathematically ZERO gradient (IN subtracts
+    the mean), so their computed grad is pure cancellation noise and their
+    Adam update an lr-sized random walk — diagnosed by placing the same
+    state/batch both ways: losses bit-identical, every kernel strict,
+    every IN-preceded bias noise-bound (docs: /tmp diag, r3)."""
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
+        np.testing.assert_allclose(x, y, rtol=rtol, atol=3 * lr)
+        if x.ndim < 2:
+            continue
+        strict = np.abs(x - y) <= atol + rtol * np.abs(y)
+        assert strict.mean() >= strict_frac, (
+            f"only {strict.mean():.0%} of elements within float-noise "
+            f"tolerance (need >= {strict_frac:.0%})"
+        )
+
+
+def test_p2p_fsdp_config_matches_dp(tmp_path, corpus8):
+    """mesh {fsdp: 8} == legacy 8-device DP: same seed, same loader order,
+    same global batch -> same params after a step; state memory 1/n."""
+    cfg_dp = _config(tmp_path, corpus8, name="P2p", size=64,
+                     data_parallel=True, val_every=99,
+                     save_root=str(tmp_path / "dp") + "/")
+    t_dp = P2pTrainer(cfg_dp, quiet=True)
+    assert t_dp.batch_scale == 8
+    t_dp.train(max_steps_per_epoch=1)
+
+    cfg_fs = _config(tmp_path, corpus8, name="P2p", size=64,
+                     mesh={"fsdp": 8}, val_every=99,
+                     save_root=str(tmp_path / "fs") + "/")
+    t_fs = P2pTrainer(cfg_fs, quiet=True)
+    assert t_fs.plan.kind == "fsdp" and t_fs.batch_scale == 8
+    total = sum(
+        np.asarray(x).nbytes
+        for x in jax.tree.leaves(jax.device_get(t_fs.state))
+    )
+    assert state_bytes_per_device(t_fs.state) < total / 2
+    t_fs.train(max_steps_per_epoch=1)
+    _tree_allclose(_final_g(t_dp), _final_g(t_fs))
+
+
+def test_hd1_fsdp_config_matches_dp(tmp_path, corpus8):
+    """The flagship HD stage-1 step (G + ResUNet + D, dual-window) trains
+    via config `mesh: {fsdp: 8}` and matches the 8-device DP step."""
+    cfg_dp = _config(tmp_path, corpus8, name="HdGan", size=128,
+                     data_parallel=True, val_every=99,
+                     save_root=str(tmp_path / "hdd") + "/")
+    t_dp = HdTrainerStage1(cfg_dp, quiet=True)
+    t_dp.train(max_steps_per_epoch=1)
+
+    cfg_fs = _config(tmp_path, corpus8, name="HdGan", size=128,
+                     mesh={"fsdp": 8}, val_every=99,
+                     save_root=str(tmp_path / "hdf") + "/")
+    t_fs = HdTrainerStage1(cfg_fs, quiet=True)
+    assert t_fs.plan.kind == "fsdp" and t_fs.batch_scale == 8
+    t_fs.train(max_steps_per_epoch=1)
+    _tree_allclose(_final_g(t_dp), _final_g(t_fs))
+    # ResUNet + D state sharded too
+    r_dp = jax.device_get(t_dp.state.r_params)
+    r_fs = jax.device_get(t_fs.state.r_params)
+    _tree_allclose(r_dp, r_fs)
+
+
+def test_hd1_dp_fsdp_hybrid_trains(tmp_path, corpus8):
+    """`mesh: {dp: 2, fsdp: 4}`: HD state sharded 4-way intra-group,
+    replicated across 2 groups, batch 8-way data-parallel."""
+    cfg = _config(tmp_path, corpus8, name="HdGan", size=128,
+                  mesh={"dp": 2, "fsdp": 4}, val_every=99)
+    t = HdTrainerStage1(cfg, quiet=True)
+    assert t.batch_scale == 8
+    t.train(max_steps_per_epoch=1)
+    leaves = jax.tree.leaves(jax.device_get(t.state))
+    assert all(
+        np.all(np.isfinite(x)) for x in leaves
+        if np.asarray(x).dtype.kind == "f"
+    )
+
+
+def test_p2p_tp_config_matches_single_device(tmp_path, corpus8):
+    """`mesh: {tp: 2}`: generator channel-sharded Megatron-style, batch
+    replicated — step equals the single-device step."""
+    cfg_1 = _config(tmp_path, corpus8, name="P2p", size=64, val_every=99,
+                    save_root=str(tmp_path / "sd") + "/")
+    t_1 = P2pTrainer(cfg_1, quiet=True)
+    t_1.train(max_steps_per_epoch=1)
+
+    cfg_tp = _config(tmp_path, corpus8, name="P2p", size=64,
+                     mesh={"tp": 2}, val_every=99,
+                     save_root=str(tmp_path / "tp") + "/")
+    t_tp = P2pTrainer(cfg_tp, quiet=True)
+    assert t_tp.plan.kind == "tp" and t_tp.batch_scale == 1
+    t_tp.train(max_steps_per_epoch=1)
+    _tree_allclose(_final_g(t_1), _final_g(t_tp))
+
+
+def test_p2p_sp_config_matches_single_device(tmp_path, corpus8):
+    """`mesh: {sp: 2}`: activations H-sharded (GSPMD inserts conv halos +
+    IN all-reduces) — step equals the single-device step."""
+    cfg_1 = _config(tmp_path, corpus8, name="P2p", size=64, val_every=99,
+                    save_root=str(tmp_path / "sd2") + "/")
+    t_1 = P2pTrainer(cfg_1, quiet=True)
+    t_1.train(max_steps_per_epoch=1)
+
+    cfg_sp = _config(tmp_path, corpus8, name="P2p", size=64,
+                     mesh={"sp": 2}, val_every=99,
+                     save_root=str(tmp_path / "sp") + "/")
+    t_sp = P2pTrainer(cfg_sp, quiet=True)
+    assert t_sp.plan.kind == "sp" and t_sp.batch_scale == 1
+    t_sp.train(max_steps_per_epoch=1)
+    _tree_allclose(_final_g(t_1), _final_g(t_sp))
+
+
+def test_sp_indivisible_h_clear_error():
+    """ADVICE r2: an H that doesn't divide the spatial extent raises a
+    named error, not an opaque GSPMD failure."""
+    from ctagan_tpu.parallel.spatial import make_sp_mesh, shard_batch_sp
+
+    mesh = make_sp_mesh(n=8)
+    batch = {"A": np.zeros((1, 65, 64, 1), np.float32)}
+    with pytest.raises(ValueError, match="H=65"):
+        shard_batch_sp(batch, mesh)
+
+
+def test_fsdp_resume_replaces_sharding(tmp_path, corpus8):
+    """Resume under a mesh plan re-applies the FSDP placement (a plain
+    device_put would silently de-shard the state)."""
+    cfg = _config(tmp_path, corpus8, name="P2p", size=64,
+                  mesh={"fsdp": 8}, val_every=99)
+    t = P2pTrainer(cfg, quiet=True)
+    t.train(max_steps_per_epoch=1)
+
+    cfg2 = _config(tmp_path, corpus8, name="P2p", size=64,
+                   mesh={"fsdp": 8}, val_every=99, resume=True)
+    t2 = P2pTrainer(cfg2, quiet=True)
+    assert t2.start_epoch >= 1
+    total = sum(
+        np.asarray(x).nbytes
+        for x in jax.tree.leaves(jax.device_get(t2.state))
+    )
+    assert state_bytes_per_device(t2.state) < total / 2
+    t2.train(max_steps_per_epoch=1)

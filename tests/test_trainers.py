@@ -178,6 +178,32 @@ def test_p2p_resume_roundtrip(tmp_path, corpus):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resume_skips_truncated_checkpoint(tmp_path, corpus):
+    """A torn write at the newest checkpoint (crash mid-save before the
+    atomic-rename fix, or a dying disk) must not wedge resume: it gets
+    quarantined and the next-newest good checkpoint loads."""
+    import glob
+    import os
+
+    cfg = _config(tmp_path, corpus, name="P2p")
+    t = P2pTrainer(cfg, quiet=True)
+    t.train(max_steps_per_epoch=1)
+    ckpts = sorted(glob.glob(os.path.join(cfg.save_root, "*.ckpt")))
+    assert ckpts
+    # forge a newer, truncated checkpoint as the resume target
+    torn = os.path.join(cfg.save_root, "P2p_p2p_e99.ckpt")
+    with open(ckpts[-1], "rb") as f:
+        blob = f.read()
+    with open(torn, "wb") as f:
+        f.write(blob[: len(blob) // 2])
+
+    cfg2 = _config(tmp_path, corpus, name="P2p", resume=True)
+    t2 = P2pTrainer(cfg2, quiet=True)
+    assert t2.start_epoch >= 1  # resumed from the good one, not epoch 0
+    assert not os.path.exists(torn)
+    assert os.path.exists(torn + ".corrupt")
+
+
 def test_cyclegan_one_epoch(tmp_path, corpus):
     cfg = _config(tmp_path, corpus, name="CycleGan", size=64)
     t = CycTrainer(cfg, quiet=True)
