@@ -45,10 +45,24 @@ class _Pending:
     __slots__ = ("image", "event", "result", "error")
 
     def __init__(self, image):
-        self.image = image
+        self.image = image  # (H, W, C) model-input context stack
         self.event = threading.Event()
         self.result: Optional[np.ndarray] = None
         self.error: Optional[str] = None
+
+
+class _SeriesRing:
+    """Per-series state for 2.5-D models: the last ``C`` preprocessed
+    slices (enough to build any still-dispatchable centered context) plus
+    the requests waiting for their right-context to arrive."""
+
+    __slots__ = ("slices", "pending", "count", "touched")
+
+    def __init__(self):
+        self.slices: "deque" = deque()  # (index, image), len kept <= C
+        self.pending: "deque" = deque()  # (_Pending, center_index)
+        self.count = 0  # slices received so far
+        self.touched = time.monotonic()
 
 
 class SynthesisService:
@@ -61,10 +75,21 @@ class SynthesisService:
         batch_timeout_ms: float = 5.0,
         pipeline_depth: int = 2,
         quantize: str = "",
+        channels: int = 1,
     ):
         import jax
 
+        if channels % 2 != 1:
+            raise ValueError("channels (context_slices) must be odd")
         self.size = size
+        self.channels = channels
+        # per-series context rings for 2.5-D models (channels > 1); a
+        # request for slice i answers once slice i + channels//2 arrives
+        # (or the series is flushed), so the served context is exactly the
+        # training-time centered, edge-clamped window
+        # (data/datasets.py::_load_context)
+        self._rings: dict = {}
+        self._ring_lock = threading.Lock()
         self.max_batch = max_batch
         self.batch_timeout = batch_timeout_ms / 1e3
         self.pipeline_depth = max(1, pipeline_depth)
@@ -88,7 +113,7 @@ class SynthesisService:
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         # warm the compiled executable at the fixed batch shape
-        warm = np.zeros((max_batch, size, size, 1), np.float32)
+        warm = np.zeros((max_batch, size, size, channels), np.float32)
         np.asarray(self._fwd(self._params, warm))
         self._worker.start()
 
@@ -133,11 +158,11 @@ class SynthesisService:
                     break
             t0 = time.perf_counter()
             try:
-                x = np.stack([p.image for p in batch])
+                x = np.stack([p.image for p in batch])  # (b, H, W, C)
                 if len(batch) < self.max_batch:  # pad to compiled shape
                     pad = np.repeat(x[-1:], self.max_batch - len(batch), 0)
                     x = np.concatenate([x, pad], 0)
-                inflight.append((batch, self._fwd(self._params, x[..., None]), t0))
+                inflight.append((batch, self._fwd(self._params, x), t0))
             except Exception as e:  # host-side failure (bad shapes etc.)
                 for p in batch:
                     p.error = repr(e)
@@ -147,9 +172,82 @@ class SynthesisService:
         while inflight:  # stop(): don't leave waiters hanging until timeout
             self._resolve(inflight.popleft())
 
-    def synthesize(self, image: np.ndarray, timeout: float = 60.0) -> np.ndarray:
-        p = _Pending(image)
-        self._queue.put(p)
+    def _context_window(self, ring: _SeriesRing, center: int, hi: int):
+        """Training-exact centered context for ``center``: offsets clamped
+        into the received range [oldest, hi] — identical edge behavior to
+        ``PairedSliceDataset._load_context`` (clamp-replicate)."""
+        half = self.channels // 2
+        by_idx = dict(ring.slices)
+        lo = ring.slices[0][0]
+        return np.stack(
+            [
+                by_idx[min(max(center + off, lo), hi)]
+                for off in range(-half, half + 1)
+            ],
+            axis=-1,
+        )
+
+    def _enqueue_series(self, image, series: str, last: bool) -> _Pending:
+        """2.5-D streaming path: ring the slice, dispatch every request
+        whose centered context is now complete (the response for slice i
+        leaves when slice i + C//2 arrives, or immediately on ``last`` with
+        the end-of-series clamp)."""
+        half = self.channels // 2
+        p = _Pending(None)
+        ready = []
+        with self._ring_lock:
+            ring = self._rings.setdefault(series, _SeriesRing())
+            ring.touched = time.monotonic()
+            i = ring.count
+            ring.count += 1
+            ring.slices.append((i, image))
+            while len(ring.slices) > self.channels:
+                ring.slices.popleft()
+            ring.pending.append((p, i))
+            hi = i
+            while ring.pending and (last or ring.pending[0][1] + half <= hi):
+                q, c = ring.pending.popleft()
+                q.image = self._context_window(ring, c, hi)
+                ready.append(q)
+            if last:
+                del self._rings[series]
+            elif len(self._rings) > 512:  # abandoned-stream GC
+                stale = min(self._rings, key=lambda k: self._rings[k].touched)
+                if stale != series:
+                    for q, _c in self._rings[stale].pending:
+                        q.error = "series evicted (abandoned stream)"
+                        q.event.set()
+                    del self._rings[stale]
+        for q in ready:
+            self._queue.put(q)
+        return p
+
+    def synthesize(
+        self,
+        image: np.ndarray,
+        timeout: float = 60.0,
+        series: Optional[str] = None,
+        last: bool = False,
+    ) -> np.ndarray:
+        """Synthesize one slice. For 2.5-D models (``channels`` > 1):
+        pass ``series`` to stream a series in order — the call blocks until
+        the centered context is complete (C//2 slices of lag, flushed by
+        ``last=True`` on the final slice). Without ``series`` the slice is
+        treated as a one-slice series (context = C copies, the training
+        clamp for a length-1 series)."""
+        if self.channels == 1:
+            p = _Pending(np.asarray(image, np.float32)[..., None])
+            self._queue.put(p)
+        elif series is None:
+            ctx = np.repeat(
+                np.asarray(image, np.float32)[..., None], self.channels, -1
+            )
+            p = _Pending(ctx)
+            self._queue.put(p)
+        else:
+            p = self._enqueue_series(
+                np.asarray(image, np.float32), str(series), last
+            )
         if not p.event.wait(timeout):
             raise TimeoutError("synthesis timed out")
         if p.error:
@@ -202,7 +300,19 @@ def _make_handler(service: SynthesisService):
                     full = resize_nearest_native(
                         np.ascontiguousarray(full, np.float32), service.size
                     )
-                fake = service.synthesize(full)
+                # 2.5-D streaming: X-Series-UID groups a stream (default:
+                # the slice's own SeriesInstanceUID); X-Last-Slice: 1 on the
+                # final slice flushes the tail. Clients must pipeline —
+                # response i completes when slice i + C//2 posts.
+                series = self.headers.get("X-Series-UID") or getattr(
+                    ds, "series_instance_uid", None
+                )
+                last = self.headers.get("X-Last-Slice", "0") == "1"
+                if service.channels > 1 and self.headers.get(
+                    "X-Single-Slice", "0"
+                ) == "1":
+                    series = None  # stateless: replicate-context
+                fake = service.synthesize(full, series=series, last=last)
                 if fake.shape[0] != orig:
                     fake = resize_nearest_native(
                         np.ascontiguousarray(fake, np.float32), orig
@@ -237,12 +347,13 @@ def serve(
     max_batch: int = 16,
     pipeline_depth: int = 2,
     quantize: str = "",
+    channels: int = 1,
 ):
     """Start the synthesis HTTP server (blocking); returns (server, service)
     when used programmatically via ``serve_async``."""
     service = SynthesisService(
         g_model, params, size=size, max_batch=max_batch,
-        pipeline_depth=pipeline_depth, quantize=quantize,
+        pipeline_depth=pipeline_depth, quantize=quantize, channels=channels,
     )
     server = ThreadingHTTPServer((host, port), _make_handler(service))
     server.serve_forever()
@@ -256,11 +367,12 @@ def serve_async(
     size: int = 512,
     max_batch: int = 16,
     pipeline_depth: int = 2,
+    channels: int = 1,
 ):
     """Start in a background thread; returns (server, service, port)."""
     service = SynthesisService(
         g_model, params, size=size, max_batch=max_batch,
-        pipeline_depth=pipeline_depth,
+        pipeline_depth=pipeline_depth, channels=channels,
     )
     server = ThreadingHTTPServer((host, port), _make_handler(service))
     t = threading.Thread(target=server.serve_forever, daemon=True)

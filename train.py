@@ -153,11 +153,6 @@ def main():
         from ctagan_tpu.serving.server import serve
         from ctagan_tpu.utils.checkpoint import find_latest_checkpoint
 
-        if config.context_slices > 1:
-            parser.error(
-                "--mode serve handles single-slice requests only; "
-                "context_slices > 1 models need --mode infer (series input)"
-            )
         if config.generator_ckpt:
             trainer.load_generator(config.generator_ckpt)
         else:
@@ -173,6 +168,7 @@ def main():
         serve(
             trainer.g_eval, trainer._g_params(), port=port, size=config.size,
             quantize=quantize,
+            channels=config.input_nc * config.context_slices,
         )
 
 
