@@ -24,6 +24,42 @@ import numpy as np
 
 REF_BASELINE_SLICES_PER_SEC = 13.0  # analytic estimate, see module docstring
 
+# v5e bf16 matmul peak (MXU): 197 TFLOP/s per chip (public spec). MFU is
+# reported against this; on a non-v5e backend the number is still printed
+# but labeled with this assumption.
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def _generator_flops_per_slice(size: int = 512, base: int = 64) -> float:
+    """Analytic conv FLOPs (2*MACs) of the flagship ResNet generator
+    forward at ``size``² — head c7s1, two stride-2 downs, 9 residual
+    blocks, two ups, tail c7s1 (models/generator.py). Used as the
+    fallback when XLA cost analysis is unavailable through the tunnel."""
+    f = float(base)
+    s = float(size)
+    fl = 2 * 49 * 1 * f * s * s                       # 7x7 head
+    fl += 2 * 9 * f * 2 * f * (s / 2) ** 2            # down1 @ size/2
+    fl += 2 * 9 * 2 * f * 4 * f * (s / 4) ** 2        # down2 @ size/4
+    fl += 18 * 2 * 9 * 4 * f * 4 * f * (s / 4) ** 2   # 9 blocks x 2 convs
+    fl += 2 * 9 * 4 * f * 2 * f * (s / 2) ** 2        # up1 (convT @ out res)
+    fl += 2 * 9 * 2 * f * f * s * s                   # up2
+    fl += 2 * 49 * f * 1 * s * s                      # 7x7 tail
+    return fl
+
+
+def _compiled_flops(jitted, *args):
+    """FLOPs of a jitted computation per XLA cost analysis, or None when
+    the backend doesn't expose it (remote tunnel backends sometimes
+    don't)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
 
 def bench_inference(batch: int = 32, size: int = 512, dtype: str = "bfloat16", iters: int = 20):
     import jax
@@ -67,7 +103,11 @@ def bench_inference(batch: int = 32, size: int = 512, dtype: str = "bfloat16", i
             out = forward(params, x)  # earlier outputs are freed as we go
         float(out[0, 0, 0, 0])
         best = min(best, (time.perf_counter() - t0) / iters)
-    return batch / best, best
+    flops = _compiled_flops(forward, params, x)
+    flops_per_slice = (
+        flops / batch if flops else _generator_flops_per_slice(size)
+    )
+    return batch / best, best, flops_per_slice, flops is not None
 
 
 def bench_train_step(
@@ -135,7 +175,8 @@ def bench_train_step(
 
 
 def main():
-    inf_sps, inf_dt = bench_inference()
+    inf_sps, inf_dt, flops_slice, flops_measured = bench_inference()
+    mfu = flops_slice * inf_sps / V5E_BF16_PEAK_FLOPS
     try:
         train_sps, train_dt = bench_train_step()
     except Exception as e:  # train bench is secondary; never mask the headline
@@ -155,6 +196,10 @@ def main():
         "vs_baseline": round(inf_sps / REF_BASELINE_SLICES_PER_SEC, 2),
         "details": {
             "inference_ms_per_batch32": round(inf_dt * 1e3, 2),
+            "g_forward_gflops_per_slice": round(flops_slice / 1e9, 1),
+            "g_flops_source": "xla_cost_analysis" if flops_measured
+            else "analytic",
+            "mfu_pct_vs_v5e_bf16_197tflops": round(100 * mfu, 1),
             "train_step_per_sec_hd1_512": (
                 round(train_sps, 3) if train_sps else None
             ),
