@@ -88,6 +88,10 @@ class MeshPlan:
             from ctagan_tpu.parallel.spatial import sp_batch_sharding
 
             return sp_batch_sharding(self.mesh)
+        if self.kind == "depth":
+            from ctagan_tpu.parallel.volume import depth_batch_sharding
+
+            return depth_batch_sharding(self.mesh)
         # dp / tp: leading dim over the data axis when present, replicated
         # otherwise (pure-tp mesh)
         if DATA_AXIS in self.mesh.axis_names:
@@ -103,6 +107,10 @@ class MeshPlan:
             from ctagan_tpu.parallel.spatial import shard_batch_sp
 
             return shard_batch_sp(arrs, self.mesh)
+        if self.kind == "depth":
+            from ctagan_tpu.parallel.volume import shard_batch_depth
+
+            return shard_batch_depth(arrs, self.mesh)
         sh = self.batch_sharding()
         if jax.process_count() > 1:
             return {
@@ -136,28 +144,34 @@ class MeshPlan:
         return dataclasses.replace(state, **out)
 
 
+_MODEL_AXES = ("fsdp", "tp", "sp", "depth")
+
+
 def plan_from_spec(spec, devices: Optional[Sequence] = None) -> MeshPlan:
-    """Build a MeshPlan from a ``config.mesh`` dict — keys dp/fsdp/tp/sp,
-    each an axis extent (default 1). At most one model axis (fsdp/tp/sp)
-    may exceed 1; dp composes with any of them. ``{}`` or ``{dp: N}`` is a
-    plain data-parallel mesh."""
+    """Build a MeshPlan from a ``config.mesh`` dict — keys dp/fsdp/tp/sp/
+    depth, each an axis extent (default 1). At most one model axis
+    (fsdp/tp/sp/depth) may exceed 1; dp composes with any of them. ``{}``
+    or ``{dp: N}`` is a plain data-parallel mesh. ``depth`` shards the 3-D
+    family's volume D axis (parallel/volume.py)."""
     spec = dict(spec or {})
-    unknown = set(spec) - {"dp", "fsdp", "tp", "sp"}
+    unknown = set(spec) - {"dp", *_MODEL_AXES}
     if unknown:
         raise ValueError(f"unknown mesh axes {sorted(unknown)} "
-                         "(have dp, fsdp, tp, sp)")
-    sizes = {k: int(spec.get(k, 1)) for k in ("dp", "fsdp", "tp", "sp")}
+                         "(have dp, fsdp, tp, sp, depth)")
+    sizes = {k: int(spec.get(k, 1)) for k in ("dp", *_MODEL_AXES)}
     if any(v < 1 for v in sizes.values()):
         raise ValueError(f"mesh axis extents must be >= 1, got {spec}")
-    model_axes = [k for k in ("fsdp", "tp", "sp") if sizes[k] > 1]
+    model_axes = [k for k in _MODEL_AXES if sizes[k] > 1]
     if len(model_axes) > 1:
         raise ValueError(
-            f"at most one of fsdp/tp/sp may exceed 1, got {spec} "
+            f"at most one of fsdp/tp/sp/depth may exceed 1, got {spec} "
             "(dp composes with any single one)"
         )
     if devices is None:
         devices = jax.devices()
-    total = sizes["dp"] * sizes["fsdp"] * sizes["tp"] * sizes["sp"]
+    total = 1
+    for v in sizes.values():
+        total *= v
     if total > len(devices):
         raise ValueError(
             f"mesh {spec} needs {total} devices, have {len(devices)}"
@@ -177,6 +191,10 @@ def plan_from_spec(spec, devices: Optional[Sequence] = None) -> MeshPlan:
             from ctagan_tpu.parallel.tensor import make_tp_mesh
 
             return MeshPlan(make_tp_mesh(devices, n=n), "tp", 1)
+        if kind == "depth":
+            from ctagan_tpu.parallel.volume import make_depth_mesh
+
+            return MeshPlan(make_depth_mesh(devices, n=n), "depth", 1)
         from ctagan_tpu.parallel.spatial import make_sp_mesh
 
         return MeshPlan(make_sp_mesh(devices, n=n), "sp", 1)
@@ -188,6 +206,10 @@ def plan_from_spec(spec, devices: Optional[Sequence] = None) -> MeshPlan:
         from ctagan_tpu.parallel.tensor import make_dp_tp_mesh
 
         return MeshPlan(make_dp_tp_mesh(dp, n, devices), "tp", dp)
+    if kind == "depth":
+        from ctagan_tpu.parallel.volume import make_dp_depth_mesh
+
+        return MeshPlan(make_dp_depth_mesh(dp, n, devices), "depth", dp)
     from ctagan_tpu.parallel.spatial import make_dp_sp_mesh
 
     return MeshPlan(make_dp_sp_mesh(dp, n, devices), "sp", dp)

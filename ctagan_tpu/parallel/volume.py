@@ -221,3 +221,119 @@ def sliding_window(
             norm = norm.at[y : y + tile_h, x : x + tile_w, :].add(window[..., :1])
             k += 1
     return acc / jnp.maximum(norm, 1e-8)
+
+
+# ===========================================================================
+# Depth-parallel TRAINING (SURVEY §5 volume axis, VERDICT r2 #8): the P3d
+# step with every volume's D axis sharded via GSPMD — the 3-D analogue of
+# parallel/spatial.py. Depth slabs are the "sequence", conv3ds are local
+# mixing (GSPMD inserts the depth-halo exchanges), InstanceNorm3d is the
+# one global reduction (an all-reduce over the axis). Zero hand-written
+# communication; semantics preserved by construction, equality with the
+# unsharded step locked by tests/test_parallel_depth.py. A volume whose
+# batched activations exceed one chip's HBM trains at 1/n per device.
+# ===========================================================================
+
+DEPTH_AXIS = "depth"
+
+
+def make_depth_mesh(devices=None, n: Optional[int] = None):
+    """1-D depth mesh: every device holds a D-slab of every volume."""
+    from jax.sharding import Mesh
+
+    if devices is None:
+        devices = jax.devices()
+    if n is not None:
+        devices = devices[:n]
+    return Mesh(np.array(devices), (DEPTH_AXIS,))
+
+
+def make_dp_depth_mesh(dp: int, dep: int, devices=None):
+    """2-D (data, depth) mesh: batch scales on ``data``, per-volume
+    activation memory drops 1/dep on ``depth`` (keep ``depth`` on the
+    innermost ICI axis — conv halos talk every layer)."""
+    from jax.sharding import Mesh
+
+    from ctagan_tpu.parallel.mesh import DATA_AXIS
+
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(
+        np.array(devices[: dp * dep]).reshape(dp, dep),
+        (DATA_AXIS, DEPTH_AXIS),
+    )
+
+
+def depth_batch_sharding(mesh):
+    """(N, D, H, W, C) with D over ``depth`` (and N over ``data`` when the
+    mesh has it)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ctagan_tpu.parallel.mesh import DATA_AXIS
+
+    n_ax = DATA_AXIS if DATA_AXIS in mesh.axis_names else None
+    return NamedSharding(mesh, P(n_ax, DEPTH_AXIS))
+
+
+def shard_batch_depth(batch, mesh):
+    """Place a host NDHWC batch dict with D sharded; multi-process assembles
+    the global array from per-host local shards (mesh.shard_batch
+    convention). ``*_path`` string leaves pass through."""
+    dep = mesh.shape[DEPTH_AXIS]
+    for k, v in batch.items():
+        if k.endswith("_path"):
+            continue
+        arr = np.asarray(v)
+        if arr.ndim >= 2 and arr.shape[1] % dep != 0:
+            raise ValueError(
+                f"depth parallelism needs D divisible by the depth mesh "
+                f"extent: batch[{k!r}] has D={arr.shape[1]} but "
+                f"mesh['{DEPTH_AXIS}']={dep}"
+            )
+    sh = depth_batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return {
+            k: v
+            if k.endswith("_path")
+            else jax.make_array_from_process_local_data(sh, np.asarray(v))
+            for k, v in batch.items()
+        }
+    return {
+        k: v if k.endswith("_path") else jax.device_put(np.asarray(v), sh)
+        for k, v in batch.items()
+    }
+
+
+def depth_train_step_fn(g_model, d_model, tx, cfg):
+    """A jitted P3d train step that runs with volume activations D-sharded.
+    Call with a state replicated by ``shard_p3d_state_depth`` and a batch
+    placed by ``shard_batch_depth``; GSPMD partitions every conv3d
+    (inserting depth-halo exchanges) and all-reduces the IN3d/loss
+    reductions, deriving the whole backward (train/steps.py::
+    p3d_train_step unchanged)."""
+    from functools import partial
+
+    from ctagan_tpu.train import steps
+
+    return jax.jit(partial(steps.p3d_train_step, g_model, d_model, tx, cfg))
+
+
+def shard_p3d_state_depth(state, mesh):
+    """Replicate a ``steps.P2pState`` on the depth mesh (depth parallelism
+    shards activations, not state — compose with parallel/fsdp.py when the
+    state must shard too)."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+
+    def put(tree):
+        return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+    out = {
+        f.name: put(getattr(state, f.name))
+        for f in dataclasses.fields(state)
+        if getattr(state, f.name) is not None
+    }
+    return dataclasses.replace(state, **out)

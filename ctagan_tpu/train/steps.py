@@ -242,7 +242,11 @@ def init_p3d_state(g_model, d_model, key, depth, size, input_nc=1, ema=False):
 def p3d_train_step(g_model, d_model, tx, cfg, state: P2pState, batch, lr):
     """Paired 3-D patch step: L1 + conditional LSGAN (the p2p recipe on
     volumes). Augmentation = paired random H/W flips (affine warps don't
-    compose cheaply in 3-D; flips are the standard volumetric augment)."""
+    compose cheaply in 3-D; flips are the standard volumetric augment).
+
+    ``grad_accum: K`` accumulates over K volume microbatches — the single-
+    chip route for volumes whose batched activations exceed HBM (same
+    ``_grad_accum_scan`` equality contract as the 2-D families)."""
     rng, kf = jax.random.split(state.rng)
     a, b = batch["A"], batch["B"]
     fh, fw = jax.random.bernoulli(kf, 0.5, (2,))
@@ -250,27 +254,41 @@ def p3d_train_step(g_model, d_model, tx, cfg, state: P2pState, batch, lr):
     b = jnp.where(fh, b[:, :, ::-1, :, :], b)
     a = jnp.where(fw, a[:, :, :, ::-1, :], a)
     b = jnp.where(fw, b[:, :, :, ::-1, :], b)
+    n_accum = int(cfg.get("grad_accum", 1))
 
-    def g_loss_fn(gp):
-        fake = g_model.apply(gp, a)
-        loss_l1 = L.l1(fake, b) * cfg["P2P_lamda"]
-        pred = d_model.apply(state.d_params, jnp.concatenate([a, fake], -1))
+    def g_loss_mb(gp, mb):
+        fake = g_model.apply(gp, mb["a"])
+        loss_l1 = L.l1(fake, mb["b"]) * cfg["P2P_lamda"]
+        pred = d_model.apply(
+            state.d_params, jnp.concatenate([mb["a"], fake], -1)
+        )
         loss_adv = L.mse(pred, _ones(pred)) * cfg["Adv_lamda"]
         return loss_l1 + loss_adv, (loss_l1, loss_adv)
 
-    (g_loss, (l1v, advv)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-        state.g_params
-    )
+    if n_accum > 1:
+        g_loss, (l1v, advv), g_grads = _grad_accum_scan(
+            g_loss_mb, state.g_params, {"a": a, "b": b}, n_accum
+        )
+    else:
+        (g_loss, (l1v, advv)), g_grads = jax.value_and_grad(
+            g_loss_mb, has_aux=True
+        )(state.g_params, {"a": a, "b": b})
     g_params, g_opt = _apply(tx, g_grads, state.g_opt, state.g_params, lr)
 
-    fake2 = jax.lax.stop_gradient(g_model.apply(g_params, a))
+    def d_loss_mb(dp, mb):
+        fake2 = jax.lax.stop_gradient(g_model.apply(g_params, mb["a"]))
+        pf = d_model.apply(dp, jnp.concatenate([mb["a"], fake2], -1))
+        pr = d_model.apply(dp, jnp.concatenate([mb["a"], mb["b"]], -1))
+        return L.mse(pf, _zeros(pf)) + L.mse(pr, _ones(pr)), ()
 
-    def d_loss_fn(dp):
-        pf = d_model.apply(dp, jnp.concatenate([a, fake2], -1))
-        pr = d_model.apply(dp, jnp.concatenate([a, b], -1))
-        return L.mse(pf, _zeros(pf)) + L.mse(pr, _ones(pr))
-
-    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+    if n_accum > 1:
+        d_loss, _, d_grads = _grad_accum_scan(
+            d_loss_mb, state.d_params, {"a": a, "b": b}, n_accum
+        )
+    else:
+        (d_loss, _), d_grads = jax.value_and_grad(d_loss_mb, has_aux=True)(
+            state.d_params, {"a": a, "b": b}
+        )
     d_params, d_opt = _apply(tx, d_grads, state.d_opt, state.d_params, lr)
 
     g_ema = _ema_update(state.g_ema, g_params, cfg.get("ema_decay", 0.999),
@@ -339,33 +357,67 @@ def init_cyc_state(
 
 
 def cyc_train_step(g_model, d_model, tx, cfg, state: CycState, batch, lr):
+    """``grad_accum: K`` accumulates the two-generator loss over K
+    microbatches. The replay-buffer fakes can't ride the (averaged) scan
+    aux, so under accumulation they are recomputed with one extra
+    forward-only pass over the full batch at the PRE-update params — the
+    reference's buffer semantics (CycTrainer.py:170-173) at one
+    microbatch's backward memory."""
     rng, ka, kb, kba, kbb = jax.random.split(state.rng, 5)
     if bool(cfg.get("aligned_aug", False)):
         kb = ka  # opt-in: pair-aligned augmentation (see reg_train_step)
     real_a = random_affine(ka, batch["A"], cfg["noise_level"])
     real_b = random_affine(kb, batch["B"], cfg["noise_level"])
     adv, cyc = cfg["Adv_lamda"], cfg["Cyc_lamda"]
+    n_accum = int(cfg.get("grad_accum", 1))
 
-    def g_loss_fn(gs):
+    def g_loss_mb(gs, mb):
         g_a2b, g_b2a = gs
-        fake_b = g_model.apply(g_a2b, real_a)
+        fake_b = g_model.apply(g_a2b, mb["a"])
         pred_fb = d_model.apply(state.d_b_params, fake_b)
         loss_gan_a2b = adv * L.mse(pred_fb, _ones(pred_fb))
 
-        fake_a = g_model.apply(g_b2a, real_b)
+        fake_a = g_model.apply(g_b2a, mb["b"])
         pred_fa = d_model.apply(state.d_a_params, fake_a)
         loss_gan_b2a = adv * L.mse(pred_fa, _ones(pred_fa))
 
         recov_a = g_model.apply(g_b2a, fake_b)
-        loss_cyc_aba = cyc * L.l1(recov_a, real_a)
+        loss_cyc_aba = cyc * L.l1(recov_a, mb["a"])
         recov_b = g_model.apply(g_a2b, fake_a)
-        loss_cyc_bab = cyc * L.l1(recov_b, real_b)
+        loss_cyc_bab = cyc * L.l1(recov_b, mb["b"])
         total = loss_gan_a2b + loss_gan_b2a + loss_cyc_aba + loss_cyc_bab
-        return total, (fake_a, fake_b, loss_gan_a2b, loss_cyc_aba)
+        return total, (loss_gan_a2b, loss_cyc_aba)
 
-    (g_loss, (fake_a, fake_b, gan_a2b, cyc_aba)), g_grads = jax.value_and_grad(
-        g_loss_fn, has_aux=True
-    )((state.g_a2b_params, state.g_b2a_params))
+    gs0 = (state.g_a2b_params, state.g_b2a_params)
+    if n_accum > 1:
+        g_loss, (gan_a2b, cyc_aba), g_grads = _grad_accum_scan(
+            g_loss_mb, gs0, {"a": real_a, "b": real_b}, n_accum
+        )
+        # buffer fakes: forward-only at the pre-update params (activation
+        # memory = one layer's peak, not a backward's stash)
+        fake_b = jax.lax.stop_gradient(g_model.apply(gs0[0], real_a))
+        fake_a = jax.lax.stop_gradient(g_model.apply(gs0[1], real_b))
+    else:
+        def g_loss_fn(gs):
+            g_a2b, g_b2a = gs
+            fake_b = g_model.apply(g_a2b, real_a)
+            pred_fb = d_model.apply(state.d_b_params, fake_b)
+            loss_gan_a2b = adv * L.mse(pred_fb, _ones(pred_fb))
+
+            fake_a = g_model.apply(g_b2a, real_b)
+            pred_fa = d_model.apply(state.d_a_params, fake_a)
+            loss_gan_b2a = adv * L.mse(pred_fa, _ones(pred_fa))
+
+            recov_a = g_model.apply(g_b2a, fake_b)
+            loss_cyc_aba = cyc * L.l1(recov_a, real_a)
+            recov_b = g_model.apply(g_a2b, fake_a)
+            loss_cyc_bab = cyc * L.l1(recov_b, real_b)
+            total = loss_gan_a2b + loss_gan_b2a + loss_cyc_aba + loss_cyc_bab
+            return total, (fake_a, fake_b, loss_gan_a2b, loss_cyc_aba)
+
+        (g_loss, (fake_a, fake_b, gan_a2b, cyc_aba)), g_grads = (
+            jax.value_and_grad(g_loss_fn, has_aux=True)(gs0)
+        )
     (g_a2b, g_b2a), g_opt = _apply(
         tx, g_grads, state.g_opt, (state.g_a2b_params, state.g_b2a_params), lr
     )
@@ -379,21 +431,31 @@ def cyc_train_step(g_model, d_model, tx, cfg, state: CycState, batch, lr):
         state.fake_b_buffer, jax.lax.stop_gradient(fake_b), kbb
     )
 
-    def d_loss_fn(dp, real, fake):
-        pr = d_model.apply(dp, real)
+    def d_loss_mb(dp, mb):
+        pr = d_model.apply(dp, mb["real"])
         loss_real = adv * L.mse(pr, _ones(pr))
-        pf = d_model.apply(dp, fake)
+        pf = d_model.apply(dp, mb["fake"])
         loss_fake = adv * L.mse(pf, _zeros(pf))
-        return loss_real + loss_fake
+        return loss_real + loss_fake, ()
 
-    d_a_loss, d_a_grads = jax.value_and_grad(d_loss_fn)(
-        state.d_a_params, real_a, fake_a_d
+    def d_update(dp, d_opt, real, fake):
+        if n_accum > 1:
+            loss, _, grads = _grad_accum_scan(
+                d_loss_mb, dp, {"real": real, "fake": fake}, n_accum
+            )
+        else:
+            (loss, _), grads = jax.value_and_grad(d_loss_mb, has_aux=True)(
+                dp, {"real": real, "fake": fake}
+            )
+        new_dp, new_opt = _apply(tx, grads, d_opt, dp, lr)
+        return loss, new_dp, new_opt
+
+    d_a_loss, d_a_params, d_a_opt = d_update(
+        state.d_a_params, state.d_a_opt, real_a, fake_a_d
     )
-    d_a_params, d_a_opt = _apply(tx, d_a_grads, state.d_a_opt, state.d_a_params, lr)
-    d_b_loss, d_b_grads = jax.value_and_grad(d_loss_fn)(
-        state.d_b_params, real_b, fake_b_d
+    d_b_loss, d_b_params, d_b_opt = d_update(
+        state.d_b_params, state.d_b_opt, real_b, fake_b_d
     )
-    d_b_params, d_b_opt = _apply(tx, d_b_grads, state.d_b_opt, state.d_b_params, lr)
 
     g_ema = _ema_update(state.g_ema, g_a2b, cfg.get("ema_decay", 0.999),
                         count=g_opt.count)

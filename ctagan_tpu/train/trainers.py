@@ -958,12 +958,8 @@ class CycTrainer(TrainerBase):
         )
 
     def _compile_step(self):
-        if self.config.grad_accum > 1:
-            raise ValueError(
-                "grad_accum is supported for the P2p and Reg/HD families "
-                "(the CycleGAN step's replay buffers are whole-batch state)"
-            )
         cfg = {
+            "grad_accum": self.config.grad_accum,
             "Adv_lamda": self.config.Adv_lamda,
             "Cyc_lamda": self.config.Cyc_lamda,
             "noise_level": self.config.noise_level,
@@ -1215,12 +1211,8 @@ class P3dTrainer(TrainerBase):
         )
 
     def _compile_step(self):
-        if self.config.grad_accum > 1:
-            raise ValueError(
-                "grad_accum is supported for the P2p and Reg/HD families "
-                "(use a smaller patch_depth for 3-D memory pressure)"
-            )
         cfg = {
+            "grad_accum": self.config.grad_accum,
             "P2P_lamda": self.config.P2P_lamda,
             "Adv_lamda": self.config.Adv_lamda,
             "ema_decay": self.config.ema_decay or 0.999,

@@ -127,11 +127,12 @@ class Config:
     # (1 = anisotropic default, full-depth body; 2/4 for thin-slice series)
     data_parallel: bool = True  # shard batch over all local devices
     mesh: Dict[str, int] = field(default_factory=dict)  # explicit
-    # parallelism plan, e.g. {dp: 2, fsdp: 4} / {tp: 4} / {sp: 8}:
-    # dp = data parallelism (batch sharding), fsdp = ZeRO-3 state sharding
-    # (batch shards over this axis too), tp = Megatron channel sharding of
-    # the generator body, sp = spatial (H-row) activation sharding. At most
-    # one of fsdp/tp/sp may exceed 1; dp composes with any single one.
+    # parallelism plan, e.g. {dp: 2, fsdp: 4} / {tp: 4} / {sp: 8} /
+    # {depth: 8}: dp = data parallelism (batch sharding), fsdp = ZeRO-3
+    # state sharding (batch shards over this axis too), tp = Megatron
+    # channel sharding of the generator body, sp = spatial (H-row)
+    # activation sharding, depth = 3-D volume D-axis sharding (P3d). At
+    # most one of fsdp/tp/sp/depth may exceed 1; dp composes with any one.
     # Empty (default) = the legacy data_parallel behavior. When a model
     # axis is active the Pallas fused paths are gated off (single-device
     # programs — GSPMD can't partition them); everything else is the plain
@@ -191,17 +192,21 @@ class Config:
         if self.mesh:
             if not isinstance(self.mesh, dict):
                 raise ValueError("mesh must be a dict of axis extents")
-            unknown = set(self.mesh) - {"dp", "fsdp", "tp", "sp"}
+            unknown = set(self.mesh) - {"dp", "fsdp", "tp", "sp", "depth"}
             if unknown:
                 raise ValueError(
-                    f"unknown mesh axes {sorted(unknown)} (have dp/fsdp/tp/sp)"
+                    f"unknown mesh axes {sorted(unknown)} "
+                    "(have dp/fsdp/tp/sp/depth)"
                 )
             for k, v in self.mesh.items():
                 if not isinstance(v, int) or v < 1:
                     raise ValueError(f"mesh.{k} must be an int >= 1, got {v!r}")
-            if sum(int(self.mesh.get(k, 1)) > 1 for k in ("fsdp", "tp", "sp")) > 1:
+            if sum(
+                int(self.mesh.get(k, 1)) > 1
+                for k in ("fsdp", "tp", "sp", "depth")
+            ) > 1:
                 raise ValueError(
-                    "at most one of mesh.fsdp/tp/sp may exceed 1 "
+                    "at most one of mesh.fsdp/tp/sp/depth may exceed 1 "
                     "(dp composes with any single one)"
                 )
         if self.depth_downsample not in (1, 2, 4):

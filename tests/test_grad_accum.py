@@ -127,18 +127,63 @@ def test_grad_accum_must_divide_batch():
         )
 
 
-def test_cyc_family_rejects_grad_accum(tmp_path):
-    from ctagan_tpu.data.fixtures import make_corpus
-    from ctagan_tpu.train.trainers import build_trainer
-    from ctagan_tpu.utils.config import load_config
+def test_cyc_grad_accum_matches_full_batch():
+    from ctagan_tpu.models import Discriminator
 
-    root = str(tmp_path)
-    lists = make_corpus(root, n_patients=3, slices_per_patient=2, size=64)
-    cfg = load_config(dict(
-        name="CycleGan", size=64, batchSize=1, n_epochs=1, decay_epoch=1,
-        save_root=root + "/save/", image_save=root + "/img/",
-        train_list=lists["train"], val_list=lists["val"],
-        test_list=lists["test"], n_cpu=0, seed=0, grad_accum=2,
-    ))
-    with pytest.raises(ValueError, match="grad_accum"):
-        build_trainer(cfg)
+    g = Generator(1, 1, n_residual_blocks=2)
+    d = Discriminator(1)
+    state, tx = steps.init_cyc_state(
+        g, d, jax.random.PRNGKey(0), 64, buffer_size=8
+    )
+    base = {"Adv_lamda": 1.0, "Cyc_lamda": 10.0, "noise_level": 1}
+    rng = np.random.default_rng(2)
+    batch = {
+        k: jnp.asarray(rng.uniform(-1, 1, (4, 64, 64, 1)).astype(np.float32))
+        for k in ("A", "B")
+    }
+    lr = jnp.float32(1e-4)
+    ref_state, ref_losses = jax.jit(
+        partial(steps.cyc_train_step, g, d, tx, base)
+    )(state, batch, lr)
+    acc_state, acc_losses = jax.jit(
+        partial(steps.cyc_train_step, g, d, tx, dict(base, grad_accum=2))
+    )(state, batch, lr)
+    for k in ref_losses:
+        np.testing.assert_allclose(
+            float(acc_losses[k]), float(ref_losses[k]), rtol=2e-5, atol=1e-6
+        )
+    _assert_state_close(acc_state.g_a2b_params, ref_state.g_a2b_params, atol=2.2e-4)
+    _assert_state_close(acc_state.d_a_params, ref_state.d_a_params, atol=2.2e-4)
+    # replay buffers see the SAME pre-update fakes in both paths
+    _assert_state_close(
+        acc_state.fake_a_buffer, ref_state.fake_a_buffer, atol=1e-5
+    )
+
+
+def test_p3d_grad_accum_matches_full_batch():
+    from ctagan_tpu.models.volumetric import Discriminator3D, Generator3D
+
+    g = Generator3D(1, 1, n_residual_blocks=2)
+    d = Discriminator3D(2)
+    state, tx = steps.init_p3d_state(g, d, jax.random.PRNGKey(0), 8, 32)
+    base = {"P2P_lamda": 10.0, "Adv_lamda": 1.0}
+    rng = np.random.default_rng(3)
+    batch = {
+        k: jnp.asarray(
+            rng.uniform(-1, 1, (4, 8, 32, 32, 1)).astype(np.float32)
+        )
+        for k in ("A", "B")
+    }
+    lr = jnp.float32(1e-4)
+    ref_state, ref_losses = jax.jit(
+        partial(steps.p3d_train_step, g, d, tx, base)
+    )(state, batch, lr)
+    acc_state, acc_losses = jax.jit(
+        partial(steps.p3d_train_step, g, d, tx, dict(base, grad_accum=2))
+    )(state, batch, lr)
+    for k in ref_losses:
+        np.testing.assert_allclose(
+            float(acc_losses[k]), float(ref_losses[k]), rtol=2e-5, atol=1e-6
+        )
+    _assert_state_close(acc_state.g_params, ref_state.g_params, atol=2.2e-4)
+    _assert_state_close(acc_state.d_params, ref_state.d_params, atol=2.2e-4)
