@@ -63,6 +63,11 @@ class Generator(nn.Module):
     # ~192 sl/s and loses badly at b=32, 157.6 vs 115.1 in-graph). None =
     # auto: on TPU, tail always + head at batch <= 8; off elsewhere.
     tap_heads: Any = None
+    # Reflect pads without materialized padded copies (ops/border_conv.py):
+    # zero-padded conv + recomputed border strips, exact reflect semantics.
+    # Applies to the 7×7 convs when taps are off and to the XLA resblock
+    # path. None = auto (on TPU, off elsewhere).
+    border_fix: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -102,14 +107,32 @@ class Generator(nn.Module):
             if zero:
                 return ConvTorch(feats, 7, padding=3, dtype=self.dtype,
                                  name=name)(h)
+            if self.border_fix if self.border_fix is not None else on_tpu:
+                # exact reflect semantics without the materialized 518²
+                # padded copy (ops/border_conv.py)
+                from ctagan_tpu.models.layers import (
+                    _ConvTorchParams,
+                    torch_conv_bias_init,
+                    torch_conv_kernel_init,
+                )
+                from ctagan_tpu.ops.border_conv import conv_same_borderfix
+
+                cin = h.shape[-1]
+                k, b = _ConvTorchParams(
+                    (7, 7, cin, feats), torch_conv_kernel_init(),
+                    torch_conv_bias_init((7, 7), cin), name=name,
+                )()
+                return conv_same_borderfix(h, k, b, dtype=self.dtype)
             return ConvTorch(feats, 7, dtype=self.dtype, name=name)(
                 reflect_pad(h, 3)
             )
 
         def block_cls(feats, halo):
             cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
+            bfix = self.border_fix if self.border_fix is not None else on_tpu
             return cls(feats, dtype=self.dtype, spatial_axis=ax, halo=halo,
-                       pad_mode=self.pad_mode, fused=self.fused_body)
+                       pad_mode=self.pad_mode, fused=self.fused_body,
+                       border_fix=bfix)
 
         # head: c7s1-64
         h = conv7(x, f, "ConvTorch_0")

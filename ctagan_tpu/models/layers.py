@@ -257,6 +257,10 @@ class ResidualBlock(nn.Module):
     spatial_axis: Optional[str] = None
     halo: int = 0
     pad_mode: str = "reflect"
+    # Reflect pads via ops/border_conv.py (zero-padded conv + recomputed
+    # border strips — exact reflect semantics, no materialized padded
+    # copy). Only meaningful on the unsharded XLA path.
+    border_fix: bool = False
     # Route through the fused conv+IN Pallas kernel (ops/fused_resblock.py):
     # both convs, both norms and the inter-conv ReLU execute in two kernel
     # launches with no standalone InstanceNorm memory passes. Forward-only
@@ -294,15 +298,26 @@ class ResidualBlock(nn.Module):
                     x = x.astype(self.dtype)
                 return fused_residual_block(x, k1, b1, k2, b2)
 
-        def conv(h):
+        def conv(h, name):
             if zero:
-                return ConvTorch(self.features, 3, padding=1, dtype=self.dtype)(h)
-            return ConvTorch(self.features, 3, dtype=self.dtype)(reflect_pad(h, 1))
+                return ConvTorch(self.features, 3, padding=1,
+                                 dtype=self.dtype, name=name)(h)
+            if self.border_fix and self.spatial_axis is None:
+                from ctagan_tpu.ops.border_conv import conv_same_borderfix
 
-        h = conv(x)
+                cin = h.shape[-1]
+                k, b = _ConvTorchParams(
+                    (3, 3, cin, self.features), torch_conv_kernel_init(),
+                    torch_conv_bias_init((3, 3), cin), name=name,
+                )()
+                return conv_same_borderfix(h, k, b, dtype=self.dtype)
+            return ConvTorch(self.features, 3, dtype=self.dtype,
+                             name=name)(reflect_pad(h, 1))
+
+        h = conv(x, "ConvTorch_0")
         h = instance_norm(h, spatial_axis=self.spatial_axis, halo=self.halo)
         h = nn.relu(h)
-        h = conv(h)
+        h = conv(h, "ConvTorch_1")
         h = instance_norm(h, spatial_axis=self.spatial_axis, halo=self.halo)
         return x + h
 
