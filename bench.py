@@ -103,11 +103,18 @@ def bench_inference(batch: int = 32, size: int = 512, dtype: str = "bfloat16", i
             out = forward(params, x)  # earlier outputs are freed as we go
         float(out[0, 0, 0, 0])
         best = min(best, (time.perf_counter() - t0) / iters)
-    flops = _compiled_flops(forward, params, x)
-    flops_per_slice = (
-        flops / batch if flops else _generator_flops_per_slice(size)
+    # FLOPs: XLA cost analysis cannot see inside pallas_call, so with the
+    # fused Pallas body it reports only the non-body ops (42.5 of the true
+    # ~448 GFLOP/slice — BENCH_r03 printed a bogus 5.9% MFU this way). The
+    # analytic conv count is the model's actual math; take the max so a
+    # backend that DOES count everything can only raise it.
+    measured = _compiled_flops(forward, params, x)
+    analytic = _generator_flops_per_slice(size)
+    flops_per_slice = max(measured / batch if measured else 0.0, analytic)
+    return (
+        batch / best, best, flops_per_slice,
+        bool(measured and measured / batch > analytic),
     )
-    return batch / best, best, flops_per_slice, flops is not None
 
 
 def bench_train_step(
