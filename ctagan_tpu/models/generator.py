@@ -66,7 +66,10 @@ class Generator(nn.Module):
     # Reflect pads without materialized padded copies (ops/border_conv.py):
     # zero-padded conv + recomputed border strips, exact reflect semantics.
     # Applies to the 7×7 convs when taps are off and to the XLA resblock
-    # path. None = auto (on TPU, off elsewhere).
+    # path. Measured a consistent LOSS on v5e 512² bf16
+    # (docs/evidence/bench_borderfix_r4.log: fwd b=32 118.1 vs 116.1 ms
+    # auto-on vs off; pure-XLA body 89.9 vs 86.0 reflect) — XLA's fused
+    # pad+conv beats the strip recomputation. None = off (opt-in).
     border_fix: Any = None
 
     @nn.compact
@@ -107,7 +110,7 @@ class Generator(nn.Module):
             if zero:
                 return ConvTorch(feats, 7, padding=3, dtype=self.dtype,
                                  name=name)(h)
-            if self.border_fix if self.border_fix is not None else on_tpu:
+            if self.border_fix:
                 # exact reflect semantics without the materialized 518²
                 # padded copy (ops/border_conv.py)
                 from ctagan_tpu.models.layers import (
@@ -129,7 +132,7 @@ class Generator(nn.Module):
 
         def block_cls(feats, halo):
             cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
-            bfix = self.border_fix if self.border_fix is not None else on_tpu
+            bfix = bool(self.border_fix)
             return cls(feats, dtype=self.dtype, spatial_axis=ax, halo=halo,
                        pad_mode=self.pad_mode, fused=self.fused_body,
                        border_fix=bfix)
