@@ -119,3 +119,77 @@ def test_regnet_import_structure_and_apply():
     assert _tree_shapes(imported) == _tree_shapes(ref)
     flow = r.apply(imported, a + 0.1, a - 0.1)
     assert flow.shape == (1, 128, 128, 2)
+
+
+# --- export (torch_export.py): the exact inverse maps -------------------
+
+from ctagan_tpu.models.torch_export import (  # noqa: E402
+    discriminator_state_dict,
+    generator_state_dict,
+    nlayer_discriminator_state_dict,
+    regnet_state_dict,
+    save_state_dict,
+)
+
+
+def _sd_allclose(a, b):
+    assert sorted(a) == sorted(b), (sorted(a)[:5], sorted(b)[:5])
+    for k in a:
+        np.testing.assert_allclose(a[k], np.asarray(b[k]), rtol=0, atol=0)
+
+
+def test_generator_export_roundtrip():
+    rng = np.random.default_rng(10)
+    sd = _gen_state_dict(rng)
+    _sd_allclose(sd, generator_state_dict(import_generator(sd)))
+    # and the other direction: flax-init tree -> sd -> tree
+    g = Generator(1, 1, n_residual_blocks=2)
+    tree = g.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 1)))
+    back = import_generator(generator_state_dict(tree))
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(np.asarray(x), np.asarray(y)),
+        tree, back,
+    )
+
+
+def test_discriminator_export_roundtrip():
+    d = Discriminator(1)
+    tree = d.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 1)))
+    back = import_discriminator(discriminator_state_dict(tree))
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(np.asarray(x), np.asarray(y)),
+        tree, back,
+    )
+
+
+def test_nlayer_export_roundtrip():
+    d = NLayerDiscriminator(1, get_interm_feat=True)
+    tree = d.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 1)))
+    back = import_nlayer_discriminator(nlayer_discriminator_state_dict(tree))
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(np.asarray(x), np.asarray(y)),
+        tree, back,
+    )
+
+
+def test_regnet_export_roundtrip():
+    r = RegNet()
+    a = jnp.zeros((1, 128, 128, 1))
+    tree = r.init(jax.random.PRNGKey(4), a, a)
+    back = import_regnet(regnet_state_dict(tree))
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(np.asarray(x), np.asarray(y)),
+        tree, back,
+    )
+
+
+def test_save_state_dict_torch_loadable(tmp_path):
+    torch = pytest.importorskip("torch")
+    g = Generator(1, 1, n_residual_blocks=1)
+    tree = g.init(jax.random.PRNGKey(5), jnp.zeros((1, 64, 64, 1)))
+    sd = generator_state_dict(tree)
+    p = str(tmp_path / "netG_A2B_export.pth")
+    save_state_dict(sd, p)
+    loaded = torch.load(p, map_location="cpu", weights_only=True)
+    assert isinstance(loaded["model_head.1.weight"], torch.Tensor)
+    _sd_allclose(sd, {k: v.numpy() for k, v in loaded.items()})
