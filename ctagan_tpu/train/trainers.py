@@ -501,6 +501,7 @@ class TrainerBase:
             log_dir=cfg.save_root if self._is_host0() else None,
             log_every=cfg.log_every,
             quiet=self.quiet or not self._is_host0(),
+            start_epoch=self.start_epoch,
         )
         # stall watchdog (SURVEY.md §5 failure detection): a wedged device
         # call never raises, so the emergency-checkpoint handler below can't

@@ -26,13 +26,18 @@ class TrainLogger:
         log_dir: Optional[str] = None,
         log_every: int = 1,
         quiet: bool = False,
+        start_epoch: int = 0,
     ):
         self.name = name
         self.n_epochs = n_epochs
         self.batches_epoch = max(1, batches_per_epoch)
         self.log_every = max(1, log_every)
         self.quiet = quiet
-        self.epoch = 1
+        # resume continuity: epoch numbers (stdout line, CSV rows, .npy
+        # panel names) are absolute, so a resumed run appends where the
+        # previous process left off instead of restarting at 1
+        self.start_epoch = int(start_epoch)
+        self.epoch = self.start_epoch + 1
         self.batch = 1
         self.prev_time = time.time()
         self.mean_period = 0.0
@@ -63,7 +68,11 @@ class TrainLogger:
             parts = [
                 f"{k}: {v / self.batch:.4f}" for k, v in self.losses.items()
             ]
-            batches_done = self.batches_epoch * (self.epoch - 1) + self.batch
+            # ETA extrapolates from THIS process's observed rate only
+            batches_done = (
+                self.batches_epoch * (self.epoch - 1 - self.start_epoch)
+                + self.batch
+            )
             batches_left = (
                 self.batches_epoch * (self.n_epochs - self.epoch)
                 + self.batches_epoch

@@ -177,6 +177,22 @@ def test_p2p_resume_roundtrip(tmp_path, corpus):
     for a, b in zip(jax.tree.leaves(g_before), jax.tree.leaves(g_after)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # epoch numbering survives the resume: the loss CSV continues with
+    # absolute epochs instead of restarting at 1 (observed on a real
+    # watchdog-resumed run, r4)
+    cfg3 = _config(tmp_path, corpus, name="P2p", resume=True, n_epochs=3)
+    t3 = P2pTrainer(cfg3, quiet=True)
+    start = t3.start_epoch
+    t3.train(max_steps_per_epoch=1)
+    import csv as _csv
+
+    with open(tmp_path / "model" / "P2p_losses.csv") as f:
+        rows = list(_csv.reader(f))
+    epochs = [int(r[0]) for r in rows[1:]]
+    assert epochs == sorted(set(epochs)), epochs  # strictly increasing
+    assert epochs[0] == 1 and epochs[-1] == cfg3.total_epochs
+    assert start + 1 in epochs  # the resumed process appended, not restarted
+
 
 def test_resume_skips_truncated_checkpoint(tmp_path, corpus):
     """A torn write at the newest checkpoint (crash mid-save before the
