@@ -121,9 +121,11 @@ class MeshPlan:
             k: jax.device_put(np.asarray(v), sh) for k, v in arrs.items()
         }
 
-    def shard_state(self, state):
+    def shard_state(self, state, generator=None):
         """Place a train-state dataclass per the plan: fsdp = ZeRO-3 layout,
-        tp = Megatron generator layout, sp/dp = replicated."""
+        tp = Megatron generator layout, pp = stage-packed generator layout
+        (needs the ``generator`` module to map param subtrees to stages),
+        sp/dp = replicated."""
         if self.kind == "fsdp":
             from ctagan_tpu.parallel.fsdp import shard_state_fsdp
 
@@ -132,6 +134,15 @@ class MeshPlan:
             from ctagan_tpu.parallel.tensor import shard_state_tp
 
             return shard_state_tp(state, self.mesh)
+        if self.kind == "pp":
+            from ctagan_tpu.parallel.pipeline import shard_p2p_state_pp
+
+            if generator is None:
+                raise ValueError(
+                    "mesh kind 'pp' needs the generator module to pack the "
+                    "stage params (pass generator=)"
+                )
+            return shard_p2p_state_pp(state, generator, self.mesh)
         import dataclasses
 
         rep = NamedSharding(self.mesh, P())
@@ -144,28 +155,35 @@ class MeshPlan:
         return dataclasses.replace(state, **out)
 
 
-_MODEL_AXES = ("fsdp", "tp", "sp", "depth")
+_MODEL_AXES = ("fsdp", "tp", "sp", "depth", "pp")
 
 
 def plan_from_spec(spec, devices: Optional[Sequence] = None) -> MeshPlan:
     """Build a MeshPlan from a ``config.mesh`` dict — keys dp/fsdp/tp/sp/
-    depth, each an axis extent (default 1). At most one model axis
-    (fsdp/tp/sp/depth) may exceed 1; dp composes with any of them. ``{}``
-    or ``{dp: N}`` is a plain data-parallel mesh. ``depth`` shards the 3-D
-    family's volume D axis (parallel/volume.py)."""
+    depth/pp, each an axis extent (default 1). At most one model axis
+    (fsdp/tp/sp/depth/pp) may exceed 1; dp composes with any of them except
+    pp (the GPipe schedule owns its whole 1-D mesh). ``{}`` or ``{dp: N}``
+    is a plain data-parallel mesh. ``depth`` shards the 3-D family's volume
+    D axis (parallel/volume.py); ``pp`` stages the P2p generator's residual
+    body GPipe-style (parallel/pipeline.py)."""
     spec = dict(spec or {})
     unknown = set(spec) - {"dp", *_MODEL_AXES}
     if unknown:
         raise ValueError(f"unknown mesh axes {sorted(unknown)} "
-                         "(have dp, fsdp, tp, sp, depth)")
+                         "(have dp, fsdp, tp, sp, depth, pp)")
     sizes = {k: int(spec.get(k, 1)) for k in ("dp", *_MODEL_AXES)}
     if any(v < 1 for v in sizes.values()):
         raise ValueError(f"mesh axis extents must be >= 1, got {spec}")
     model_axes = [k for k in _MODEL_AXES if sizes[k] > 1]
     if len(model_axes) > 1:
         raise ValueError(
-            f"at most one of fsdp/tp/sp/depth may exceed 1, got {spec} "
+            f"at most one of fsdp/tp/sp/depth/pp may exceed 1, got {spec} "
             "(dp composes with any single one)"
+        )
+    if sizes["pp"] > 1 and sizes["dp"] > 1:
+        raise ValueError(
+            f"pp does not compose with dp, got {spec} — the GPipe schedule "
+            "owns its whole 1-D mesh (amortize with microbatches instead)"
         )
     if devices is None:
         devices = jax.devices()
@@ -195,6 +213,10 @@ def plan_from_spec(spec, devices: Optional[Sequence] = None) -> MeshPlan:
             from ctagan_tpu.parallel.volume import make_depth_mesh
 
             return MeshPlan(make_depth_mesh(devices, n=n), "depth", 1)
+        if kind == "pp":
+            from ctagan_tpu.parallel.pipeline import make_pp_mesh
+
+            return MeshPlan(make_pp_mesh(n, devices), "pp", 1)
         from ctagan_tpu.parallel.spatial import make_sp_mesh
 
         return MeshPlan(make_sp_mesh(devices, n=n), "sp", 1)

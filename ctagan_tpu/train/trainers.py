@@ -102,6 +102,13 @@ class TrainerBase:
         else:
             n_dp = len(jax.devices()) if config.data_parallel else 1
             self.plan = plan_from_spec({"dp": n_dp})
+        if self.plan.kind == "pp" and self.family != "p2p":
+            raise ValueError(
+                "mesh.pp (pipeline-parallel training) supports the P2p "
+                f"family only, not {self.family!r} — the GPipe schedule "
+                "stages the 2-D Generator's residual body "
+                "(parallel/pipeline.py)"
+            )
         self.mesh = self.plan.mesh
         self.n_devices = len(self.mesh.devices.ravel())
         # batch feed scale: how many ways batches shard (dp*fsdp extents —
@@ -122,9 +129,12 @@ class TrainerBase:
         self.state, self.tx = self._init_state()
         if config.mesh:
             # explicit plan: place the whole train state (fsdp = ZeRO-3
-            # layout, tp = Megatron generator layout, dp/sp = replicated);
-            # the family's plain jitted step then runs sharded via GSPMD
-            self.state = self.plan.shard_state(self.state)
+            # layout, tp = Megatron generator layout, pp = stage-packed
+            # generator body, dp/sp = replicated); the family's jitted step
+            # then runs sharded via GSPMD (pp: via the GPipe schedule)
+            self.state = self.plan.shard_state(
+                self.state, generator=self.g_model
+            )
         self._step = self._compile_step()
         self._gen_fwd = jax.jit(lambda p, a: self.g_eval.apply(p, a))
 
@@ -234,26 +244,53 @@ class TrainerBase:
         the center depth slice."""
         return x[:, :, :, 0]
 
+    def _canonical_state(self):
+        """``self.state`` with the canonical (reference-layout) param trees.
+        The pp plan stores the generator body stage-PACKED on the mesh
+        (parallel/pipeline.py::pp_pack_params); checkpoints and eval unpack
+        back to the plain tree so artifacts stay plan-portable. Every other
+        plan keeps the canonical tree (sharding is placement only)."""
+        if self.config.mesh and self.plan.kind == "pp":
+            from ctagan_tpu.parallel.pipeline import unshard_p2p_state_pp
+
+            # device_get: the unpacked leaves are per-stage committed
+            # slices of a pp-sharded array — pull to host so downstream
+            # jit calls (eval fwd) and checkpoint writes see one clean tree
+            return jax.device_get(
+                unshard_p2p_state_pp(self.state, self.g_model)
+            )
+        return self.state
+
     def _g_params(self):
         """Evaluation params: the EMA shadow when enabled, else the live G
         (val/test/figures/serving all route through here)."""
-        ema = getattr(self.state, "g_ema", None)
+        state = self._canonical_state()
+        ema = getattr(state, "g_ema", None)
         if self.config.ema_decay > 0 and ema is not None:
             return ema
-        return self.state.g_params
+        return state.g_params
 
     def _set_g_params(self, params):
+        if self.config.mesh and self.plan.kind == "pp":
+            # loaded weights arrive in the canonical tree; repack
+            state = self._canonical_state().replace(g_params=params)
+            if getattr(state, "g_ema", None) is not None:
+                state = state.replace(g_ema=params)
+            self.state = self.plan.shard_state(state, generator=self.g_model)
+            return
         self.state = self.state.replace(g_params=params)
         # explicitly-loaded weights supersede any EMA shadow
         if getattr(self.state, "g_ema", None) is not None:
             self.state = self.state.replace(g_ema=params)
         if self.config.mesh:
-            self.state = self.plan.shard_state(self.state)
+            self.state = self.plan.shard_state(
+                self.state, generator=self.g_model
+            )
 
     def _place_state(self, state):
         """Host state tree -> device placement per the parallelism plan."""
         if self.config.mesh:
-            return self.plan.shard_state(state)
+            return self.plan.shard_state(state, generator=self.g_model)
         return jax.device_put(state)
 
     # -- data ---------------------------------------------------------------
@@ -348,7 +385,7 @@ class TrainerBase:
             # hosts read on resume (shared storage convention)
             return None
         payload = {
-            "state": jax.device_get(self.state),
+            "state": jax.device_get(self._canonical_state()),
             "epoch": epoch,
             "lr": self.lr,
             "lr_d": self.lr_d,
@@ -375,7 +412,7 @@ class TrainerBase:
         from ctagan_tpu.utils.checkpoint import find_checkpoints
 
         target = {
-            "state": jax.device_get(self.state),
+            "state": jax.device_get(self._canonical_state()),
             "epoch": 0,
             "lr": 0.0,
             "lr_d": 0.0,
@@ -417,7 +454,7 @@ class TrainerBase:
             self._set_g_params(jax.device_put(import_generator(path)))
             return
         target = {
-            "state": jax.device_get(self.state),
+            "state": jax.device_get(self._canonical_state()),
             "epoch": 0,
             "lr": 0.0,
             "lr_d": 0.0,
@@ -932,6 +969,28 @@ class P2pTrainer(TrainerBase):
             "grad_accum": self.config.grad_accum,
             "ema_decay": self.config.ema_decay or 0.999,
         }
+        if self.config.mesh and self.plan.kind == "pp":
+            # pipeline-parallel training: the generator staged GPipe-style
+            # over the pp mesh; state arrives stage-packed (shard_state).
+            # The schedule replaces the generator inside the SAME family
+            # step, so losses/optimizer semantics are unchanged.
+            from ctagan_tpu.parallel.pipeline import pp_train_step_fn
+
+            if cfg["grad_accum"] > 1:
+                raise ValueError(
+                    "mesh.pp does not compose with grad_accum — the GPipe "
+                    "schedule already microbatches (pp_microbatches)"
+                )
+            fn = pp_train_step_fn(
+                self.g_model, self.d_model, self.tx, cfg,
+                self.mesh, microbatches=self.config.pp_microbatches,
+            )
+
+            def pp_step(state, batch, lr, lr_d):
+                return fn(state, batch, lr)
+
+            return pp_step
+
         fn = partial(steps.p2p_train_step, self.g_model, self.d_model, self.tx, cfg)
 
         @jax.jit
@@ -1143,7 +1202,7 @@ class HdTrainerStage2(RegTrainer):
                 )
             path = found[0]
         target = {
-            "state": jax.device_get(self.state),
+            "state": jax.device_get(self._canonical_state()),
             "epoch": 0,
             "lr": 0.0,
             "lr_d": 0.0,

@@ -128,15 +128,21 @@ class Config:
     data_parallel: bool = True  # shard batch over all local devices
     mesh: Dict[str, int] = field(default_factory=dict)  # explicit
     # parallelism plan, e.g. {dp: 2, fsdp: 4} / {tp: 4} / {sp: 8} /
-    # {depth: 8}: dp = data parallelism (batch sharding), fsdp = ZeRO-3
-    # state sharding (batch shards over this axis too), tp = Megatron
+    # {depth: 8} / {pp: 3}: dp = data parallelism (batch sharding), fsdp =
+    # ZeRO-3 state sharding (batch shards over this axis too), tp = Megatron
     # channel sharding of the generator body, sp = spatial (H-row)
-    # activation sharding, depth = 3-D volume D-axis sharding (P3d). At
-    # most one of fsdp/tp/sp/depth may exceed 1; dp composes with any one.
+    # activation sharding, depth = 3-D volume D-axis sharding (P3d), pp =
+    # GPipe pipeline staging of the P2p generator's residual body
+    # (parallel/pipeline.py; P2p family only, body blocks must divide pp).
+    # At most one of fsdp/tp/sp/depth/pp may exceed 1; dp composes with any
+    # one except pp.
     # Empty (default) = the legacy data_parallel behavior. When a model
     # axis is active the Pallas fused paths are gated off (single-device
     # programs — GSPMD can't partition them); everything else is the plain
     # jitted step, sharded by placement (parallel/mesh.py::plan_from_spec).
+    pp_microbatches: int = 2  # mesh.pp > 1: microbatches per step in the
+    # GPipe schedule (batchSize must divide by it; more microbatches =
+    # smaller pipeline fill/drain bubble, finer activation stashes)
     val_every: int = 5  # epochs between validations (reference: hardcoded 5)
     log_every: int = 50  # steps between stdout log lines
     checkpoint_every_iters: int = 40000  # HD mid-epoch checkpoint cadence
@@ -192,23 +198,38 @@ class Config:
         if self.mesh:
             if not isinstance(self.mesh, dict):
                 raise ValueError("mesh must be a dict of axis extents")
-            unknown = set(self.mesh) - {"dp", "fsdp", "tp", "sp", "depth"}
+            unknown = set(self.mesh) - {"dp", "fsdp", "tp", "sp", "depth",
+                                        "pp"}
             if unknown:
                 raise ValueError(
                     f"unknown mesh axes {sorted(unknown)} "
-                    "(have dp/fsdp/tp/sp/depth)"
+                    "(have dp/fsdp/tp/sp/depth/pp)"
                 )
             for k, v in self.mesh.items():
                 if not isinstance(v, int) or v < 1:
                     raise ValueError(f"mesh.{k} must be an int >= 1, got {v!r}")
             if sum(
                 int(self.mesh.get(k, 1)) > 1
-                for k in ("fsdp", "tp", "sp", "depth")
+                for k in ("fsdp", "tp", "sp", "depth", "pp")
             ) > 1:
                 raise ValueError(
-                    "at most one of mesh.fsdp/tp/sp/depth may exceed 1 "
+                    "at most one of mesh.fsdp/tp/sp/depth/pp may exceed 1 "
                     "(dp composes with any single one)"
                 )
+            if int(self.mesh.get("pp", 1)) > 1:
+                if int(self.mesh.get("dp", 1)) > 1:
+                    raise ValueError(
+                        "mesh.pp does not compose with mesh.dp (the GPipe "
+                        "schedule owns its whole 1-D mesh; amortize with "
+                        "pp_microbatches instead)"
+                    )
+                if self.batchSize % self.pp_microbatches != 0:
+                    raise ValueError(
+                        f"batchSize {self.batchSize} must divide into "
+                        f"pp_microbatches {self.pp_microbatches}"
+                    )
+        if self.pp_microbatches < 1:
+            raise ValueError("pp_microbatches must be an int >= 1")
         if self.depth_downsample not in (1, 2, 4):
             raise ValueError("depth_downsample must be 1, 2 or 4")
         if self.patch_depth % self.depth_downsample != 0:

@@ -30,9 +30,11 @@ def corpus8(tmp_path_factory):
 
 def test_plan_from_spec_validation():
     with pytest.raises(ValueError, match="unknown mesh axes"):
-        plan_from_spec({"pp": 2})
+        plan_from_spec({"bogus": 2})
     with pytest.raises(ValueError, match="at most one of"):
         plan_from_spec({"fsdp": 2, "tp": 2})
+    with pytest.raises(ValueError, match="pp does not compose"):
+        plan_from_spec({"dp": 2, "pp": 2})
     with pytest.raises(ValueError, match="devices"):
         plan_from_spec({"dp": 4, "fsdp": 4})  # 16 > 8
     with pytest.raises(ValueError, match=">= 1"):
@@ -46,6 +48,9 @@ def test_plan_from_spec_validation():
     }
     p = plan_from_spec({"tp": 4})
     assert p.kind == "tp" and p.batch_scale == 1 and p.model_sharded
+    p = plan_from_spec({"pp": 3})
+    assert p.kind == "pp" and p.batch_scale == 1 and p.model_sharded
+    assert dict(zip(p.mesh.axis_names, p.mesh.devices.shape)) == {"pp": 3}
 
 
 def test_config_mesh_validation():
@@ -186,6 +191,63 @@ def test_p2p_sp_config_matches_single_device(tmp_path, corpus8):
     assert t_sp.plan.kind == "sp" and t_sp.batch_scale == 1
     t_sp.train(max_steps_per_epoch=1)
     _tree_allclose(_final_g(t_1), _final_g(t_sp))
+
+
+def test_p2p_pp_config_matches_single_device(tmp_path, corpus8):
+    """`mesh: {pp: 3}`: the generator's 9-block body staged GPipe-style
+    over 3 devices straight from config — pipeline TRAINING equals the
+    single-device step, and checkpoints stay plan-portable (canonical
+    tree on disk, repacked on resume)."""
+    cfg_1 = _config(tmp_path, corpus8, name="P2p", size=64, val_every=99,
+                    batchSize=2, save_root=str(tmp_path / "sd3") + "/")
+    t_1 = P2pTrainer(cfg_1, quiet=True)
+    t_1.train(max_steps_per_epoch=1)
+
+    cfg_pp = _config(tmp_path, corpus8, name="P2p", size=64,
+                     mesh={"pp": 3}, pp_microbatches=2, batchSize=2,
+                     val_every=99, save_root=str(tmp_path / "pp") + "/")
+    t_pp = P2pTrainer(cfg_pp, quiet=True)
+    assert t_pp.plan.kind == "pp" and t_pp.batch_scale == 1
+    # state really lives stage-packed: the body stacks as (S, k, ...)
+    packed = jax.device_get(t_pp.state.g_params)
+    assert "body" in packed and "rest" in packed
+    t_pp.train(max_steps_per_epoch=1)
+    _tree_allclose(
+        _final_g(t_1), jax.device_get(t_pp._canonical_state().g_params)
+    )
+
+    # checkpoint roundtrip: canonical tree on disk -> fresh pp trainer
+    # resumes it (repacked placement), eval params identical
+    t_pp._save(1)
+    cfg_rs = _config(tmp_path, corpus8, name="P2p", size=64,
+                     mesh={"pp": 3}, pp_microbatches=2, batchSize=2,
+                     val_every=99, resume=True,
+                     save_root=str(tmp_path / "pp") + "/")
+    t_rs = P2pTrainer(cfg_rs, quiet=True)
+    a = jax.tree.leaves(t_pp._canonical_state().g_params)
+    b = jax.tree.leaves(t_rs._canonical_state().g_params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pp_rejects_bad_configs(tmp_path, corpus8):
+    """pp surfaces clear errors: wrong family, grad_accum, dp composition,
+    indivisible microbatches."""
+    with pytest.raises(ValueError, match="does not compose with mesh.dp"):
+        load_config({"mesh": {"dp": 2, "pp": 2}})
+    with pytest.raises(ValueError, match="divide into"):
+        load_config({"mesh": {"pp": 2}, "batchSize": 3,
+                     "pp_microbatches": 2})
+    cfg = _config(tmp_path, corpus8, name="CycleGan", size=64,
+                  mesh={"pp": 2}, batchSize=2)
+    from ctagan_tpu.train.trainers import CycTrainer
+
+    with pytest.raises(ValueError, match="P2p family only"):
+        CycTrainer(cfg, quiet=True)
+    cfg2 = _config(tmp_path, corpus8, name="P2p", size=64,
+                   mesh={"pp": 3}, batchSize=2, grad_accum=2)
+    with pytest.raises(ValueError, match="grad_accum"):
+        P2pTrainer(cfg2, quiet=True)
 
 
 def test_sp_indivisible_h_clear_error():
