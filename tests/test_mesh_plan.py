@@ -176,6 +176,29 @@ def test_p2p_tp_config_matches_single_device(tmp_path, corpus8):
     _tree_allclose(_final_g(t_1), _final_g(t_tp))
 
 
+def test_hd1_tp_config_matches_single_device(tmp_path, corpus8):
+    """`mesh: {tp: 2}` on the flagship HD three-net step: the generator
+    Megatron-sharded via the generic shard_state_tp, ResUNet/D replicated
+    — equals the single-device step (TP training is a config feature for
+    the HD family, not just P2p)."""
+    cfg_1 = _config(tmp_path, corpus8, name="HdGan", size=128, val_every=99,
+                    save_root=str(tmp_path / "hds") + "/")
+    t_1 = HdTrainerStage1(cfg_1, quiet=True)
+    t_1.train(max_steps_per_epoch=1)
+
+    cfg_tp = _config(tmp_path, corpus8, name="HdGan", size=128,
+                     mesh={"tp": 2}, val_every=99,
+                     save_root=str(tmp_path / "hdt") + "/")
+    t_tp = HdTrainerStage1(cfg_tp, quiet=True)
+    assert t_tp.plan.kind == "tp" and t_tp.batch_scale == 1
+    t_tp.train(max_steps_per_epoch=1)
+    _tree_allclose(_final_g(t_1), _final_g(t_tp))
+    _tree_allclose(
+        jax.device_get(t_1.state.r_params),
+        jax.device_get(t_tp.state.r_params),
+    )
+
+
 def test_p2p_sp_config_matches_single_device(tmp_path, corpus8):
     """`mesh: {sp: 2}`: activations H-sharded (GSPMD inserts conv halos +
     IN all-reduces) — step equals the single-device step."""
