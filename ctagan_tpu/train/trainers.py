@@ -259,6 +259,23 @@ class TrainerBase:
             return jax.device_get(
                 unshard_p2p_state_pp(self.state, self.g_model)
             )
+        if (
+            self.config.mesh
+            and self.plan.model_sharded
+            and jax.process_count() > 1
+        ):
+            # multi-host fsdp/tp/sp/depth: shards of the state live on
+            # OTHER hosts' devices, and jax.device_get of a non-addressable
+            # array raises — all-gather to a replicated layout first (the
+            # gather crosses the process boundary; every host then holds
+            # the full canonical state locally). Caught by the 2-process
+            # fsdp e2e test (tests/test_multiprocess.py) at checkpoint
+            # time; single-process sharded state needs no gather (all
+            # shards are addressable and device_get assembles them).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            return jax.jit(lambda s: s, out_shardings=rep)(self.state)
         return self.state
 
     def _g_params(self):
@@ -380,12 +397,18 @@ class TrainerBase:
         return jax.process_index() == 0
 
     def _save(self, epoch, psnr=None, ssim_v=None):
+        # canonical-state first, on EVERY host: for multi-host sharded
+        # plans it is an all-gather COLLECTIVE — a host-0-only call would
+        # desynchronize the collective streams (Gloo "collective mismatch"
+        # crash, caught by the 2-process fsdp e2e test). Only the file
+        # write below is host-0-only.
+        state_dev = self._canonical_state()
         if not self._is_host0():
-            # multi-host: params are replicated — only host 0 writes, all
-            # hosts read on resume (shared storage convention)
+            # multi-host: only host 0 writes, all hosts read on resume
+            # (shared storage convention)
             return None
         payload = {
-            "state": jax.device_get(self._canonical_state()),
+            "state": jax.device_get(state_dev),
             "epoch": epoch,
             "lr": self.lr,
             "lr_d": self.lr_d,
