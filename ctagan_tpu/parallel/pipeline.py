@@ -351,16 +351,33 @@ def unshard_p2p_state_pp(state, generator):
     )
 
 
-def pp_train_step_fn(g_model, d_model, tx, cfg, mesh: Mesh, microbatches: int):
-    """A jitted P2p train step with the generator PIPELINED end-to-end —
-    forward through the GPipe schedule, backward through its autodiff
-    transpose (reverse-tick scan + reversed ppermute ring), optimizer
-    update shard-local on the stage-sharded params.
+def pp_train_step_fn(
+    g_model,
+    d_model,
+    tx,
+    cfg,
+    mesh: Mesh,
+    microbatches: int,
+    schedule: str = "gpipe",
+):
+    """A jitted P2p train step with the generator PIPELINED end-to-end.
+
+    ``schedule='gpipe'``: forward through the GPipe scan, backward through
+    its autodiff transpose (reverse-tick scan + reversed ppermute ring).
+    The scan transpose stashes per-TICK residuals, so activation memory
+    grows with the microbatch count M — fine for small M, wrong shape for
+    the long-pipeline regime GPipe is meant for.
+
+    ``schedule='1f1b'``: the hand-scheduled one-forward-one-backward
+    program (``_pp_1f1b_grad_program``) — each microbatch's backward starts
+    as soon as the last stage finishes its forward, so a stage holds at
+    most O(S) in-flight stage-input stashes instead of O(M), with the
+    stage forward recomputed inside its backward tick (remat). Same math:
+    grads equal the sequential step's up to float ordering (locked by
+    tests/test_parallel_pipeline.py).
 
     Call with a state placed by ``shard_p2p_state_pp`` and a replicated
-    batch; returns ``step(state, batch, lr) -> (state, losses)``. Grads
-    equal the sequential step's up to float ordering (locked by
-    tests/test_parallel_pipeline.py).
+    batch; returns ``step(state, batch, lr) -> (state, losses)``.
     """
     from functools import partial
 
@@ -368,4 +385,236 @@ def pp_train_step_fn(g_model, d_model, tx, cfg, mesh: Mesh, microbatches: int):
 
     g = g_model.clone(fused_body=False, fused_body_grad=False, tap_heads=False)
     ppg = PPGenerator(g, mesh, microbatches)
-    return jax.jit(partial(steps.p2p_train_step, ppg, d_model, tx, cfg))
+    if schedule == "gpipe":
+        return jax.jit(partial(steps.p2p_train_step, ppg, d_model, tx, cfg))
+    if schedule != "1f1b":
+        raise ValueError(f"unknown pp schedule {schedule!r} (gpipe | 1f1b)")
+
+    prog = _pp_1f1b_grad_program(g, d_model, cfg, mesh, microbatches)
+
+    def step(state, batch, lr):
+        # Mirrors steps.p2p_train_step exactly (rng split, augmentation,
+        # reference D-update order/quirks, ramped EMA) with the G update's
+        # value_and_grad replaced by the 1F1B pipelined program.
+        rng, ka, kb = jax.random.split(state.rng, 3)
+        if bool(cfg.get("aligned_aug", False)):
+            kb = ka
+        from ctagan_tpu.ops.augment import random_affine
+
+        a = random_affine(ka, batch["A"], cfg["noise_level"])
+        b = random_affine(kb, batch["B"], cfg["noise_level"])
+        (g_loss, (l1v, advv)), g_grads = prog(
+            state.g_params["body"], state.g_params["rest"],
+            state.d_params, a, b,
+        )
+        g_grads = {"body": g_grads[0], "rest": g_grads[1]}
+        g_params, g_opt = steps._apply(
+            tx, g_grads, state.g_opt, state.g_params, lr
+        )
+
+        def d_loss_fn(dp):
+            # reference order: D sees the UPDATED generator's fake, and
+            # scales the *predictions* by Adv_lamda (p2pTrainer.py:143-145)
+            fake2 = jax.lax.stop_gradient(ppg.apply(g_params, a))
+            pf = d_model.apply(
+                dp, jnp.concatenate([a, fake2], -1)
+            ) * cfg["Adv_lamda"]
+            pr = d_model.apply(
+                dp, jnp.concatenate([a, b], -1)
+            ) * cfg["Adv_lamda"]
+            return (
+                jnp.mean((pf - jnp.zeros_like(pf)) ** 2)
+                + jnp.mean((pr - jnp.ones_like(pr)) ** 2)
+            ), ()
+
+        (d_loss, _), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params
+        )
+        d_params, d_opt = steps._apply(
+            tx, d_grads, state.d_opt, state.d_params, lr
+        )
+        g_ema = steps._ema_update(
+            state.g_ema, g_params, cfg.get("ema_decay", 0.999),
+            count=g_opt.count,
+        )
+        new_state = dataclasses.replace(
+            state, g_params=g_params, d_params=d_params, g_opt=g_opt,
+            d_opt=d_opt, rng=rng, g_ema=g_ema,
+        )
+        return new_state, {
+            "loss_G": g_loss,
+            "loss_L1": l1v,
+            "loss_GAN_A2B": advv,
+            "loss_D_B": d_loss,
+        }
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# 1F1B: hand-scheduled forward+backward pipeline (PipeDream-flush style)
+# ---------------------------------------------------------------------------
+
+def _pp_1f1b_grad_program(generator, d_model, cfg, mesh: Mesh, microbatches):
+    """shard_map'd ``(body_params, rest_p, d_params, a, b) ->
+    ((loss, (l1, adv)), (body_grads, rest_grads))`` computing the P2p
+    generator loss value-and-grad through a one-forward-one-backward
+    pipeline schedule.
+
+    Why not autodiff the GPipe scan? Its transpose replays the whole
+    forward scan before any backward tick, stashing residuals for all
+    M + S - 1 ticks — O(M) activation memory per stage, which defeats the
+    point of pipelining deep bodies with many microbatches. Here the
+    backward is scheduled BY HAND to start the moment the last stage
+    finishes a microbatch's forward (the 1F1B steady state: each stage
+    alternates one fwd, one bwd per tick):
+
+      tick u, stage s:  FWD of microbatch  u - s
+                        BWD of microbatch  u - (2S - 2 - s)
+
+    so microbatch m's stage-input stash lives only 2(S-1-s) ticks — a
+    ring of ``2(S-1)+1`` slots per stage bounds in-flight activations at
+    O(S) independent of M. The stage backward recomputes its forward from
+    the stashed INPUT (remat), so nothing else is stashed. Activation
+    cotangents ride the reversed ppermute ring; the per-microbatch loss
+    epilogue (up/tail + L1 + D adversarial term, replicated — like the
+    head/tail forward in ``_pp_program``) runs where the last stage's
+    output lands, seeding the backward at 1/M per microbatch so the total
+    equals the full-batch mean loss. Reference semantics of the loss:
+    p2pTrainer.py:127-141.
+    """
+    from ctagan_tpu.ops import losses as L
+
+    S = len(mesh.devices.ravel())
+    M = microbatches
+    T = M + 2 * (S - 1)  # last backward: stage 0, microbatch M-1
+    R = 2 * (S - 1) + 1  # stash ring depth (max stash lifetime + 1)
+
+    def fn(body_params, rest_p, d_params, a, b):
+        sp = jax.tree.map(lambda t: t[0], body_params)  # (k, ...) local
+        s = jax.lax.axis_index(PP_AXIS)
+        mb = a.shape[0] // M
+        a_mb = a.reshape(M, mb, *a.shape[1:])
+        b_mb = b.reshape(M, mb, *b.shape[1:])
+        k = jax.tree.leaves(sp)[0].shape[0]
+
+        def blocks(sp_, h):
+            for i in range(k):
+                h = _apply_block(
+                    generator, jax.tree.map(lambda t: t[i], sp_), h
+                )
+            return h
+
+        def epilogue_loss(rp, y, am, bm):
+            fake = _up_tail(generator, rp, y)
+            l1 = L.l1(fake, bm) * cfg["P2P_lamda"]
+            pred = d_model.apply(d_params, jnp.concatenate([am, fake], -1))
+            adv = L.mse(pred, jnp.ones_like(pred)) * cfg["Adv_lamda"]
+            return l1 + adv, (l1, adv)
+
+        h_sd = jax.eval_shape(
+            lambda rp, x: _head_down(generator, rp, x), rest_p, a_mb[0]
+        )
+        zero_h = jnp.zeros(h_sd.shape, h_sd.dtype)
+        fwd_ring = [(i, i + 1) for i in range(S - 1)]
+        bwd_ring = [(i + 1, i) for i in range(S - 1)]
+
+        def tick(carry, u):
+            cf, cb, stash, bg, rg, hg, lo, l1a, adva = carry
+            # ---- forward slot: microbatch u - s ----
+            mf = u - s
+            mf_ok = (mf >= 0) & (mf < M)
+            mf_c = jnp.clip(mf, 0, M - 1)
+            feed = jax.lax.dynamic_index_in_dim(
+                a_mb, mf_c, 0, keepdims=False
+            )
+            h0 = _head_down(generator, rest_p, feed)
+            a_in = jnp.where(s == 0, h0, cf)
+            stash = jnp.where(
+                mf_ok,
+                jax.lax.dynamic_update_index_in_dim(
+                    stash, a_in, mf_c % R, 0
+                ),
+                stash,
+            )
+            y = blocks(sp, a_in)
+            # ---- loss epilogue on the last stage's fresh output ----
+            y_last = jax.lax.psum(
+                jnp.where(s == S - 1, y, jnp.zeros_like(y)), PP_AXIS
+            )
+            me = u - (S - 1)
+            me_ok = (me >= 0) & (me < M)
+            me_c = jnp.clip(me, 0, M - 1)
+            am = jax.lax.dynamic_index_in_dim(a_mb, me_c, 0, keepdims=False)
+            bm = jax.lax.dynamic_index_in_dim(b_mb, me_c, 0, keepdims=False)
+            loss_m, vjp_e, aux_m = jax.vjp(
+                lambda rp, yy: epilogue_loss(rp, yy, am, bm),
+                rest_p, y_last, has_aux=True,
+            )
+            rg_m, dy = vjp_e(jnp.asarray(1.0 / M, loss_m.dtype))
+            acc_t = lo.dtype  # f32, or f64 under enable_x64
+            lo = lo + jnp.where(me_ok, loss_m / M, 0.0).astype(acc_t)
+            l1a = l1a + jnp.where(me_ok, aux_m[0] / M, 0.0).astype(acc_t)
+            adva = adva + jnp.where(me_ok, aux_m[1] / M, 0.0).astype(acc_t)
+            rg = jax.tree.map(
+                lambda acc, g: acc + jnp.where(me_ok, g, jnp.zeros_like(g)),
+                rg, rg_m,
+            )
+            # ---- backward slot: microbatch u - (2S - 2 - s) ----
+            mbi = u - (2 * S - 2 - s)
+            mb_ok = (mbi >= 0) & (mbi < M)
+            mb_c = jnp.clip(mbi, 0, M - 1)
+            g_in = jnp.where(s == S - 1, dy, cb)
+            a_st = jax.lax.dynamic_index_in_dim(
+                stash, mb_c % R, 0, keepdims=False
+            )
+            _, vjp_b = jax.vjp(blocks, sp, a_st)  # remat: fwd recomputed
+            bg_m, a_cot = vjp_b(g_in)
+            bg = jax.tree.map(
+                lambda acc, g: acc + jnp.where(mb_ok, g, jnp.zeros_like(g)),
+                bg, bg_m,
+            )
+            # stage 0's input cotangent drives the head/down backward
+            feed_b = jax.lax.dynamic_index_in_dim(
+                a_mb, mb_c, 0, keepdims=False
+            )
+            _, vjp_h = jax.vjp(
+                lambda rp: _head_down(generator, rp, feed_b), rest_p
+            )
+            (hg_m,) = vjp_h(a_cot)
+            hmask = mb_ok & (s == 0)
+            hg = jax.tree.map(
+                lambda acc, g: acc + jnp.where(hmask, g, jnp.zeros_like(g)),
+                hg, hg_m,
+            )
+            cf = jax.lax.ppermute(y, PP_AXIS, fwd_ring)
+            cb = jax.lax.ppermute(a_cot, PP_AXIS, bwd_ring)
+            return (cf, cb, stash, bg, rg, hg, lo, l1a, adva), None
+
+        carry0 = (
+            zero_h,
+            zero_h,
+            jnp.zeros((R,) + zero_h.shape, zero_h.dtype),
+            jax.tree.map(jnp.zeros_like, sp),
+            jax.tree.map(jnp.zeros_like, rest_p),
+            jax.tree.map(jnp.zeros_like, rest_p),
+            jnp.zeros((), jnp.promote_types(jnp.float32, a.dtype)),
+            jnp.zeros((), jnp.promote_types(jnp.float32, a.dtype)),
+            jnp.zeros((), jnp.promote_types(jnp.float32, a.dtype)),
+        )
+        carry, _ = jax.lax.scan(tick, carry0, jnp.arange(T))
+        _, _, _, bg, rg, hg, lo, l1a, adva = carry
+        # head grads live only on stage 0; epilogue grads are identical on
+        # every stage (computed from the psum-broadcast y). Sum + replicate.
+        hg = jax.lax.psum(hg, PP_AXIS)
+        rest_g = jax.tree.map(lambda x, y_: x + y_, rg, hg)
+        body_g = jax.tree.map(lambda t: t[None], bg)  # local (1, k, ...)
+        return (lo, (l1a, adva)), (body_g, rest_g)
+
+    return shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(PP_AXIS), P(), P(), P(), P()),
+        out_specs=((P(), (P(), P())), (P(PP_AXIS), P())),
+        check_vma=False,
+    )

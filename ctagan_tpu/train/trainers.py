@@ -1007,6 +1007,7 @@ class P2pTrainer(TrainerBase):
             fn = pp_train_step_fn(
                 self.g_model, self.d_model, self.tx, cfg,
                 self.mesh, microbatches=self.config.pp_microbatches,
+                schedule=self.config.pp_schedule,
             )
 
             def pp_step(state, batch, lr, lr_d):

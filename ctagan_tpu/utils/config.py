@@ -143,6 +143,12 @@ class Config:
     pp_microbatches: int = 2  # mesh.pp > 1: microbatches per step in the
     # GPipe schedule (batchSize must divide by it; more microbatches =
     # smaller pipeline fill/drain bubble, finer activation stashes)
+    pp_schedule: str = "gpipe"  # mesh.pp > 1: 'gpipe' (scan forward,
+    # backward = autodiff transpose; stashes grow with pp_microbatches) or
+    # '1f1b' (hand-scheduled one-forward-one-backward: each microbatch's
+    # backward starts as soon as the last stage finishes it, stage-input
+    # stashes bounded at O(stages) with the stage forward recomputed in
+    # its backward tick — the deep-pipeline / many-microbatch memory mode)
     val_every: int = 5  # epochs between validations (reference: hardcoded 5)
     log_every: int = 50  # steps between stdout log lines
     checkpoint_every_iters: int = 40000  # HD mid-epoch checkpoint cadence
@@ -230,6 +236,11 @@ class Config:
                     )
         if self.pp_microbatches < 1:
             raise ValueError("pp_microbatches must be an int >= 1")
+        if self.pp_schedule not in ("gpipe", "1f1b"):
+            raise ValueError(
+                f"pp_schedule must be 'gpipe' or '1f1b', got "
+                f"{self.pp_schedule!r}"
+            )
         if self.depth_downsample not in (1, 2, 4):
             raise ValueError("depth_downsample must be 1, 2 or 4")
         if self.patch_depth % self.depth_downsample != 0:

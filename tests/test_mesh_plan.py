@@ -271,6 +271,8 @@ def test_pp_rejects_bad_configs(tmp_path, corpus8):
                    mesh={"pp": 3}, batchSize=2, grad_accum=2)
     with pytest.raises(ValueError, match="grad_accum"):
         P2pTrainer(cfg2, quiet=True)
+    with pytest.raises(ValueError, match="pp_schedule"):
+        load_config({"pp_schedule": "interleaved"})
 
 
 def test_sp_indivisible_h_clear_error():

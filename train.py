@@ -66,6 +66,19 @@ def main():
         help="Force resume from the newest checkpoint (overrides config).",
     )
     parser.add_argument(
+        "--platform", type=str, default=None, choices=["cpu", "tpu"],
+        help="Override the JAX platform (default: environment's). "
+        "'cpu' enables CPU-host runs — e.g. driving a mesh: config on "
+        "virtual devices (see --host-devices) or smoke-training without "
+        "an accelerator.",
+    )
+    parser.add_argument(
+        "--host-devices", type=int, default=0, metavar="N",
+        help="With --platform cpu: present N virtual CPU devices "
+        "(XLA_FLAGS --xla_force_host_platform_device_count) so mesh: "
+        "configs (dp/fsdp/tp/sp/depth/pp) run on a single host.",
+    )
+    parser.add_argument(
         "--supervise", type=int, default=0, metavar="N",
         help="Run the command under the crash/stall supervisor: on any "
         "non-zero exit (crash, OOM-kill, or the config stall_timeout "
@@ -91,6 +104,21 @@ def main():
                 a for j, a in enumerate(sys.argv) if j not in (i, i + 1)
             ]
         raise SystemExit(supervise(argv, max_restarts=opts.supervise))
+
+    if opts.host_devices > 0:
+        # must land in XLA_FLAGS before the CPU backend initializes (it is
+        # lazy, so setting it here — even though the site hook already
+        # imported jax — is early enough)
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={opts.host_devices}"
+        )
+    if opts.platform:
+        import jax
+
+        jax.config.update("jax_platforms", opts.platform)
 
     from ctagan_tpu.train import build_trainer
     from ctagan_tpu.utils.config import enable_compile_cache, load_config
