@@ -302,41 +302,44 @@ class PPGenerator:
         return self._prog(packed_params["body"], packed_params["rest"], x)
 
 
-def shard_p2p_state_pp(state, generator, mesh: Mesh):
-    """Re-lay a ``steps.P2pState`` for pipeline training: g_params and the
-    Adam moments go to the stacked-and-stage-sharded layout (moments mirror
-    params, so the same pack applies), D/rng replicate. The packed zeros of
-    a fresh Adam state equal the sequential init, so grads-then-update
-    equals the sequential step (locked by test)."""
+def shard_state_pp(state, generator, mesh: Mesh):
+    """Re-lay a family train state for pipeline training: g_params and the
+    G Adam moments go to the stacked-and-stage-sharded layout (moments
+    mirror params, so the same pack applies); EVERY other field (D, the reg
+    family's R net and its moments, rng) replicates. Generic over the state
+    dataclass — works for ``steps.P2pState`` and ``steps.RegState`` alike.
+    The packed zeros of a fresh Adam state equal the sequential init, so
+    grads-then-update equals the sequential step (locked by test)."""
     n_blocks = generator.n_residual_blocks
     n_stages = len(mesh.devices.ravel())
     pack = lambda t: pp_pack_params(t, n_blocks, n_stages)
-    g_opt = state.g_opt
-    # optax.scale_by_adam state: (count, mu, nu) with mu/nu mirroring params
-    g_opt_pp = g_opt._replace(mu=pack(g_opt.mu), nu=pack(g_opt.nu))
     repl = lambda t: jax.tree.map(
         lambda a: jax.device_put(a, NamedSharding(mesh, P())), t
     )
-    g_opt_pp = g_opt_pp._replace(
-        mu=_place_packed(g_opt_pp.mu, mesh),
-        nu=_place_packed(g_opt_pp.nu, mesh),
-        count=jax.device_put(g_opt_pp.count, NamedSharding(mesh, P())),
+    g_opt = state.g_opt
+    # optax.scale_by_adam state: (count, mu, nu) with mu/nu mirroring params
+    g_opt_pp = g_opt._replace(
+        mu=_place_packed(pack(g_opt.mu), mesh),
+        nu=_place_packed(pack(g_opt.nu), mesh),
+        count=jax.device_put(g_opt.count, NamedSharding(mesh, P())),
     )
-    return dataclasses.replace(
-        state,
-        g_params=_place_packed(pack(state.g_params), mesh),
-        g_opt=g_opt_pp,
-        d_params=repl(state.d_params),
-        d_opt=repl(state.d_opt),
-        rng=jax.device_put(state.rng, NamedSharding(mesh, P())),
-        g_ema=None if state.g_ema is None else _place_packed(
+    out = {
+        "g_params": _place_packed(pack(state.g_params), mesh),
+        "g_opt": g_opt_pp,
+        "g_ema": None if state.g_ema is None else _place_packed(
             pack(state.g_ema), mesh
         ),
-    )
+    }
+    for f in dataclasses.fields(state):
+        if f.name in out:
+            continue
+        v = getattr(state, f.name)
+        out[f.name] = None if v is None else repl(v)
+    return dataclasses.replace(state, **out)
 
 
-def unshard_p2p_state_pp(state, generator):
-    """Inverse re-layout: back to the sequential ``P2pState`` (for
+def unshard_state_pp(state, generator):
+    """Inverse re-layout: back to the sequential family state (for
     checkpoints / eval with the plain generator)."""
     n_blocks = generator.n_residual_blocks
     unpack = lambda t: pp_unpack_params(jax.device_get(t), n_blocks)
@@ -349,6 +352,50 @@ def unshard_p2p_state_pp(state, generator):
         g_opt=g_opt,
         g_ema=None if state.g_ema is None else unpack(state.g_ema),
     )
+
+
+# Historical names (P2p was the first pipelined family); the generic
+# versions above subsume them.
+shard_p2p_state_pp = shard_state_pp
+unshard_p2p_state_pp = unshard_state_pp
+
+
+def pp_reg_train_step_fn(
+    g_model,
+    r_model,
+    d_model,
+    tx,
+    cfg,
+    mesh: Mesh,
+    microbatches: int,
+    dual_window_mode: bool = False,
+    stage2: bool = False,
+):
+    """The reg-family (RegGAN / HD stage-1 / HD stage-2) train step with
+    the GENERATOR pipelined over the ``pp`` mesh — the flagship three-net
+    step's G forward+backward runs through the GPipe schedule (autodiff
+    transpose backward), while R and D stay replicated (the ResUNet is
+    encoder-decoder shaped — no homogeneous stage split — and together
+    with D carries <25% of the step FLOPs; reference hot loop
+    HdTrainer.py:204-228). ``steps.reg_train_step`` runs UNCHANGED with
+    the ``PPGenerator`` adapter swapped in; call with a state placed by
+    ``shard_state_pp``."""
+    from functools import partial
+
+    from ctagan_tpu.train import steps
+
+    g = g_model.clone(fused_body=False, fused_body_grad=False, tap_heads=False)
+    ppg = PPGenerator(g, mesh, microbatches)
+    fn = partial(steps.reg_train_step, ppg, r_model, d_model, tx, cfg)
+
+    @jax.jit
+    def step(state, batch, lr, lr_d):
+        return fn(
+            state, batch, lr, lr_d=lr_d,
+            dual_window_mode=dual_window_mode, stage2=stage2,
+        )
+
+    return step
 
 
 def pp_train_step_fn(

@@ -102,12 +102,25 @@ class TrainerBase:
         else:
             n_dp = len(jax.devices()) if config.data_parallel else 1
             self.plan = plan_from_spec({"dp": n_dp})
-        if self.plan.kind == "pp" and self.family != "p2p":
+        if self.plan.kind == "pp" and self.family not in (
+            "p2p", "reg", "hd1", "hd2"
+        ):
             raise ValueError(
-                "mesh.pp (pipeline-parallel training) supports the P2p "
-                f"family only, not {self.family!r} — the GPipe schedule "
+                "mesh.pp (pipeline-parallel training) supports the P2p and "
+                f"reg/HD families, not {self.family!r} — the schedule "
                 "stages the 2-D Generator's residual body "
-                "(parallel/pipeline.py)"
+                "(parallel/pipeline.py); the Cyc family has two generators "
+                "and the P3d family a 3-D body"
+            )
+        if (
+            self.plan.kind == "pp"
+            and config.pp_schedule == "1f1b"
+            and self.family != "p2p"
+        ):
+            raise ValueError(
+                "pp_schedule: 1f1b supports the P2p family only (its "
+                "hand-scheduled loss epilogue is P2p-specific); the "
+                "reg/HD families pipeline via pp_schedule: gpipe"
             )
         self.mesh = self.plan.mesh
         self.n_devices = len(self.mesh.devices.ravel())
@@ -1117,21 +1130,54 @@ class RegTrainer(TrainerBase):
             "ema_decay": c.ema_decay or 0.999,
         }
 
-    def _compile_step(self):
+    def _reg_step(self, dual_window_mode=False, stage2=False,
+                  pass_lr_d=True):
+        """Shared reg-family step compiler: the plain jitted
+        ``steps.reg_train_step``, or — under ``mesh: {pp: N}`` — the same
+        step with the generator pipelined GPipe-style
+        (parallel/pipeline.py::pp_reg_train_step_fn). ``pass_lr_d`` False
+        reproduces the RegGAN trainer's single-lr call (the reference's
+        Reg family has no separate D lr, RegTrainer.py:148-159)."""
+        cfg = self._step_cfg()
+        if self.config.mesh and self.plan.kind == "pp":
+            from ctagan_tpu.parallel.pipeline import pp_reg_train_step_fn
+
+            if cfg["grad_accum"] > 1:
+                raise ValueError(
+                    "mesh.pp does not compose with grad_accum — the GPipe "
+                    "schedule already microbatches (pp_microbatches)"
+                )
+            fn = pp_reg_train_step_fn(
+                self.g_model, self.r_model, self.d_model, self.tx, cfg,
+                self.mesh, microbatches=self.config.pp_microbatches,
+                dual_window_mode=dual_window_mode, stage2=stage2,
+            )
+
+            def pp_step(state, batch, lr, lr_d):
+                return fn(state, batch, lr, lr_d if pass_lr_d else None)
+
+            return pp_step
+
         fn = partial(
             steps.reg_train_step,
             self.g_model,
             self.r_model,
             self.d_model,
             self.tx,
-            self._step_cfg(),
+            cfg,
         )
 
         @jax.jit
         def step(state, batch, lr, lr_d):
-            return fn(state, batch, lr)
+            return fn(
+                state, batch, lr, lr_d=lr_d if pass_lr_d else None,
+                dual_window_mode=dual_window_mode, stage2=stage2,
+            )
 
         return step
+
+    def _compile_step(self):
+        return self._reg_step(pass_lr_d=False)
 
 
 class HdTrainerStage1(RegTrainer):
@@ -1142,20 +1188,7 @@ class HdTrainerStage1(RegTrainer):
     dual_window = True
 
     def _compile_step(self):
-        fn = partial(
-            steps.reg_train_step,
-            self.g_model,
-            self.r_model,
-            self.d_model,
-            self.tx,
-            self._step_cfg(),
-        )
-
-        @jax.jit
-        def step(state, batch, lr, lr_d):
-            return fn(state, batch, lr, lr_d=lr_d, dual_window_mode=True)
-
-        return step
+        return self._reg_step(dual_window_mode=True)
 
 
 class HdTrainerStage2(RegTrainer):
@@ -1186,22 +1219,7 @@ class HdTrainerStage2(RegTrainer):
         )
 
     def _compile_step(self):
-        fn = partial(
-            steps.reg_train_step,
-            self.g_model,
-            self.r_model,
-            self.d_model,
-            self.tx,
-            self._step_cfg(),
-        )
-
-        @jax.jit
-        def step(state, batch, lr, lr_d):
-            return fn(
-                state, batch, lr, lr_d=lr_d, dual_window_mode=True, stage2=True
-            )
-
-        return step
+        return self._reg_step(dual_window_mode=True, stage2=True)
 
     def bootstrap_from_stage1(self, path: Optional[str] = None):
         """Load G and R from a stage-1 checkpoint (HdTrainer.py:697-699)."""
@@ -1245,17 +1263,25 @@ class HdTrainerStage2(RegTrainer):
             with open(path, "rb") as f:
                 raw = ser.msgpack_restore(f.read())
             st = raw["state"]
+        # under pp the live g_params tree is stage-packed; template against
+        # the canonical tree and re-place afterwards
+        state_c = self._canonical_state()
         g_params = ser.from_state_dict(
-            jax.device_get(self.state.g_params), st["g_params"]
+            jax.device_get(state_c.g_params), st["g_params"]
         )
         r_params = ser.from_state_dict(
-            jax.device_get(self.state.r_params), st["r_params"]
-        )
-        self.state = self.state.replace(
-            g_params=jax.device_put(g_params), r_params=jax.device_put(r_params)
+            jax.device_get(state_c.r_params), st["r_params"]
         )
         if self.config.mesh:
-            self.state = self.plan.shard_state(self.state)
+            self.state = self.plan.shard_state(
+                state_c.replace(g_params=g_params, r_params=r_params),
+                generator=self.g_model,
+            )
+        else:
+            self.state = self.state.replace(
+                g_params=jax.device_put(g_params),
+                r_params=jax.device_put(r_params),
+            )
         return self
 
 

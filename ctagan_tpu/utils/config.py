@@ -132,8 +132,9 @@ class Config:
     # ZeRO-3 state sharding (batch shards over this axis too), tp = Megatron
     # channel sharding of the generator body, sp = spatial (H-row)
     # activation sharding, depth = 3-D volume D-axis sharding (P3d), pp =
-    # GPipe pipeline staging of the P2p generator's residual body
-    # (parallel/pipeline.py; P2p family only, body blocks must divide pp).
+    # GPipe pipeline staging of the generator's residual body
+    # (parallel/pipeline.py; P2p and reg/HD families — R/D replicate —
+    # body blocks must divide pp).
     # At most one of fsdp/tp/sp/depth/pp may exceed 1; dp composes with any
     # one except pp.
     # Empty (default) = the legacy data_parallel behavior. When a model

@@ -253,6 +253,55 @@ def test_p2p_pp_config_matches_single_device(tmp_path, corpus8):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_hd1_pp_config_matches_single_device(tmp_path, corpus8):
+    """`mesh: {pp: 3}` on the flagship HD three-net step: the generator's
+    9-block body staged GPipe-style (G fwd+bwd through the schedule's
+    autodiff transpose), ResUNet/D replicated — equals the single-device
+    step (pipeline training is a config feature for the HD family, not
+    just P2p)."""
+    from ctagan_tpu.train.trainers import HdTrainerStage2
+
+    cfg_1 = _config(tmp_path, corpus8, name="HdGan", size=128, val_every=99,
+                    batchSize=2, save_root=str(tmp_path / "hds") + "/")
+    t_1 = HdTrainerStage1(cfg_1, quiet=True)
+    t_1.train(max_steps_per_epoch=1)
+
+    cfg_pp = _config(tmp_path, corpus8, name="HdGan", size=128,
+                     mesh={"pp": 3}, pp_microbatches=2, batchSize=2,
+                     val_every=99, save_root=str(tmp_path / "hdp") + "/")
+    t_pp = HdTrainerStage1(cfg_pp, quiet=True)
+    assert t_pp.plan.kind == "pp" and t_pp.batch_scale == 1
+    packed = jax.device_get(t_pp.state.g_params)
+    assert "body" in packed and "rest" in packed  # really stage-packed
+    t_pp.train(max_steps_per_epoch=1)
+    _tree_allclose(
+        _final_g(t_1), jax.device_get(t_pp._canonical_state().g_params)
+    )
+    _tree_allclose(
+        jax.device_get(t_1.state.r_params),
+        jax.device_get(t_pp.state.r_params),
+    )
+    # stage-2 bootstraps G+R from the stage-1 checkpoint INTO the packed
+    # layout (canonical-tree template, repacked placement)
+    t_pp._save(1)
+    cfg_s2 = _config(tmp_path, corpus8, name="HdGan2", size=128,
+                     mesh={"pp": 3}, pp_microbatches=2, batchSize=2,
+                     val_every=99, save_root=str(tmp_path / "hdp") + "/")
+    t_s2 = HdTrainerStage2(cfg_s2, quiet=True)
+    t_s2.bootstrap_from_stage1()
+    a = jax.tree.leaves(jax.device_get(t_pp._canonical_state().g_params))
+    b = jax.tree.leaves(jax.device_get(t_s2._canonical_state().g_params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # 1f1b stays P2p-only, with a clear error
+    cfg_1f = _config(tmp_path, corpus8, name="HdGan", size=128,
+                     mesh={"pp": 3}, pp_microbatches=2, batchSize=2,
+                     pp_schedule="1f1b", val_every=99,
+                     save_root=str(tmp_path / "hdf") + "/")
+    with pytest.raises(ValueError, match="1f1b supports the P2p"):
+        HdTrainerStage1(cfg_1f, quiet=True)
+
+
 def test_pp_rejects_bad_configs(tmp_path, corpus8):
     """pp surfaces clear errors: wrong family, grad_accum, dp composition,
     indivisible microbatches."""
@@ -265,7 +314,7 @@ def test_pp_rejects_bad_configs(tmp_path, corpus8):
                   mesh={"pp": 2}, batchSize=2)
     from ctagan_tpu.train.trainers import CycTrainer
 
-    with pytest.raises(ValueError, match="P2p family only"):
+    with pytest.raises(ValueError, match="Cyc family has two generators"):
         CycTrainer(cfg, quiet=True)
     cfg2 = _config(tmp_path, corpus8, name="P2p", size=64,
                    mesh={"pp": 3}, batchSize=2, grad_accum=2)
