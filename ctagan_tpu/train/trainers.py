@@ -112,16 +112,6 @@ class TrainerBase:
                 "(parallel/pipeline.py); the Cyc family has two generators "
                 "and the P3d family a 3-D body"
             )
-        if (
-            self.plan.kind == "pp"
-            and config.pp_schedule == "1f1b"
-            and self.family != "p2p"
-        ):
-            raise ValueError(
-                "pp_schedule: 1f1b supports the P2p family only (its "
-                "hand-scheduled loss epilogue is P2p-specific); the "
-                "reg/HD families pipeline via pp_schedule: gpipe"
-            )
         self.mesh = self.plan.mesh
         self.n_devices = len(self.mesh.devices.ravel())
         # batch feed scale: how many ways batches shard (dp*fsdp extents —
@@ -1019,13 +1009,22 @@ class TrainerBase:
                     )
         agg = aggregate(rows)
         if not self.quiet:
-            for k in ("MAEw", "PSNRw", "SSIMw", "UQIw"):
+            for k in ("MAEw", "PSNRw", "SSIMw", "UQIw", "LPIPSw"):
                 if k in agg:
                     print(f"{k}: {agg[k]}")
             print()
-            for k in ("MAE", "PSNR", "SSIM", "UQI"):
+            for k in ("MAE", "PSNR", "SSIM", "UQI", "LPIPS"):
                 if k in agg:
                     print(f"{k}: {agg[k]}")
+            if "LPIPS" not in agg:
+                # the reference always prints 10 aggregate numbers
+                # (HdTrainer.py:553-564); state the two missing columns
+                # explicitly rather than silently printing 8
+                print(
+                    "LPIPSw/LPIPS: not computed — no lpips_weights "
+                    "configured (build the weights file with "
+                    "`python -m ctagan_tpu.ops.lpips`)"
+                )
         return agg
 
 
@@ -1209,6 +1208,7 @@ class RegTrainer(TrainerBase):
                 self.g_model, self.r_model, self.d_model, self.tx, cfg,
                 self.mesh, microbatches=self.config.pp_microbatches,
                 dual_window_mode=dual_window_mode, stage2=stage2,
+                schedule=self.config.pp_schedule,
             )
 
             def pp_step(state, batch, lr, lr_d):

@@ -357,3 +357,129 @@ def test_swapped_series_reject_mode(tmp_path):
     stats = CorpusStats()
     by_patient = collect_pairs(str(tmp_path), stats, repair=False)
     assert stats.swapped_pairs == 1 and not by_patient
+
+
+def _reference_repair_tree(root):
+    """A messy tree exercising every reference repair rule."""
+    _tree(root, n_patients=1, slices=4)  # pat0: clean, 4 pairs
+    # pat1: SE2 leftovers + SE1 has an extra unmatched file
+    _tree2 = os.path.join(root, "pat1")
+    _tree(root, n_patients=2, slices=2)  # creates pat0 (noop) + pat1
+    se2 = os.path.join(_tree2, "ST0", "SE2")
+    os.makedirs(se2, exist_ok=True)
+    with open(os.path.join(se2, "IM0"), "wb") as f:
+        f.write(b"stale synthesis output")
+    extra = os.path.join(_tree2, "ST0", "SE1", "IM9")
+    src = os.path.join(_tree2, "ST0", "SE1", "IM0")
+    import shutil
+
+    shutil.copy(src, extra)
+    return root
+
+
+def test_reference_repair_se2_purge_and_unmatched_delete(tmp_path):
+    from ctagan_tpu.data.corpus import repair_reference_tree
+
+    root = _reference_repair_tree(str(tmp_path))
+    stats = CorpusStats()
+    repair_reference_tree(root, stats)
+    assert stats.se2_purged == 1
+    assert not os.path.isdir(os.path.join(root, "pat1", "ST0", "SE2"))
+    # the unmatched SE1/IM9 was deleted; counts now equal -> patient kept
+    assert stats.deleted_unmatched == 1
+    assert not os.path.exists(os.path.join(root, "pat1", "ST0", "SE1", "IM9"))
+    assert os.path.isdir(os.path.join(root, "pat1"))
+
+
+def test_reference_repair_series_count_swap(tmp_path):
+    """len(SE0) an integer multiple of len(SE1) -> whole-series rename
+    dance (data_process.py:44-47): SE0 and SE1 swap directories."""
+    from ctagan_tpu.data.corpus import repair_reference_tree
+
+    root = str(tmp_path)
+    _tree(root, n_patients=1, slices=4)
+    se1 = os.path.join(root, "pat0", "ST0", "SE1")
+    # SE1 down to 2 files: 4 % 2 == 0 triggers the swap
+    os.remove(os.path.join(se1, "IM2"))
+    os.remove(os.path.join(se1, "IM3"))
+    stats = CorpusStats()
+    repair_reference_tree(root, stats)
+    assert stats.series_renamed == 1
+    # post-swap: SE0 holds the old SE1 (2 files), deletion pass removed
+    # SE1 files without an SE0 partner, counts equalized -> patient kept
+    se0_files = sorted(os.listdir(os.path.join(root, "pat0", "ST0", "SE0")))
+    se1_files = sorted(os.listdir(os.path.join(root, "pat0", "ST0", "SE1")))
+    assert se0_files == ["IM0", "IM1"]
+    assert se1_files == ["IM0", "IM1"]
+    assert stats.deleted_unmatched == 2
+
+
+def test_reference_repair_removes_mismatched_patient(tmp_path):
+    from ctagan_tpu.data.corpus import repair_reference_tree
+
+    root = str(tmp_path)
+    _tree(root, n_patients=1, slices=3)
+    # SE1 down to 2 of 3: 3 % 2 != 0 -> no swap; unmatched pass can't fix
+    # the SE0 surplus -> counts still differ -> patient rmtree'd
+    os.remove(os.path.join(root, "pat0", "ST0", "SE1", "IM2"))
+    stats = CorpusStats()
+    repair_reference_tree(root, stats)
+    assert stats.removed_patient_dirs == 1
+    assert not os.path.isdir(os.path.join(root, "pat0"))
+
+
+def test_reference_mode_removes_duplicate_patient_id(tmp_path):
+    root = str(tmp_path)
+    _tree(root, n_patients=2, slices=2)
+    # pat1's headers claim pat0's PatientID
+    for se in ("SE0", "SE1"):
+        for im in ("IM0", "IM1"):
+            p = os.path.join(root, "pat1", "ST0", se, im)
+            ds = read_dicom(p)
+            ds.set_str((0x0010, 0x0020), "P0", b"LO")
+            write_dicom(ds, p)
+    stats = CorpusStats()
+    by_patient = collect_pairs(root, stats, repair="reference")
+    assert stats.removed_patient_dirs == 1
+    assert not os.path.isdir(os.path.join(root, "pat1"))
+    assert list(by_patient) == ["P0"]
+    # default mode on the same shape: non-destructive first-wins de-dup
+    root2 = str(tmp_path / "keep")
+    os.makedirs(root2)
+    _tree(root2, n_patients=2, slices=2)
+    for se in ("SE0", "SE1"):
+        for im in ("IM0", "IM1"):
+            p = os.path.join(root2, "pat1", "ST0", se, im)
+            ds = read_dicom(p)
+            ds.set_str((0x0010, 0x0020), "P0", b"LO")
+            write_dicom(ds, p)
+    by2 = collect_pairs(root2, CorpusStats(), repair=True)
+    assert os.path.isdir(os.path.join(root2, "pat1"))  # nothing deleted
+    assert list(by2) == ["P0"]
+
+
+def test_reference_mode_rejects_ambiguous_contrast(tmp_path):
+    root = str(tmp_path)
+    _tree(root, n_patients=1, slices=2)
+    # both series claim C+ on one slice pair -> reference skips it
+    for se in ("SE0", "SE1"):
+        p = os.path.join(root, "pat0", "ST0", se, "IM0")
+        ds = read_dicom(p)
+        ds.set_str((0x0008, 0x103E), "C+", b"LO")
+        write_dicom(ds, p)
+    stats = CorpusStats()
+    by_patient = collect_pairs(root, stats, repair="reference")
+    assert stats.rejected_contrast == 1
+    assert stats.slices == 1  # the clean pair survives
+    # default mode keeps ambiguous pairs (documented divergence)
+    root2 = str(tmp_path / "dflt")
+    os.makedirs(root2)
+    _tree(root2, n_patients=1, slices=2)
+    for se in ("SE0", "SE1"):
+        p = os.path.join(root2, "pat0", "ST0", se, "IM0")
+        ds = read_dicom(p)
+        ds.set_str((0x0008, 0x103E), "C+", b"LO")
+        write_dicom(ds, p)
+    st2 = CorpusStats()
+    collect_pairs(root2, st2, repair=True)
+    assert st2.slices == 2

@@ -43,7 +43,29 @@ def test_feature_tap_shapes(params):
 
 def test_make_lpips_fn_gated_without_weights():
     assert make_lpips_fn(None) is None
-    assert make_lpips_fn("/nonexistent/weights.pth") is None
+    assert make_lpips_fn("") is None
+    # an explicitly-configured path that doesn't exist must RAISE, not
+    # silently drop the reference's two LPIPS columns (VERDICT r4 #7)
+    with pytest.raises(FileNotFoundError, match="lpips_weights"):
+        make_lpips_fn("/nonexistent/weights.pth")
+
+
+def test_cli_combines_checkpoints(tmp_path):
+    """`python -m ctagan_tpu.ops.lpips a.pth h.pth out.pth` — the turnkey
+    one-command weights build."""
+    from ctagan_tpu.ops.lpips import _main
+
+    sd = _random_torch_sd(seed=3)
+    alex = {k: v for k, v in sd.items() if k.startswith("features.")}
+    heads = {k: v for k, v in sd.items() if k.startswith("lin")}
+    pa, ph, po = (str(tmp_path / n) for n in ("a.pth", "h.pth", "out.pth"))
+    torch.save(alex, pa)
+    torch.save(heads, ph)
+    _main([pa, ph, po])
+    fn = make_lpips_fn(po)
+    assert fn is not None
+    d = float(fn(np.zeros((64, 64), np.float32), np.ones((64, 64), np.float32)))
+    assert np.isfinite(d) and d > 0
 
 
 def _random_torch_sd(seed=2):

@@ -545,3 +545,32 @@ def test_r1_penalty_stage2_multiscale(tmp_path, corpus):
     s, out = t._compile_step()(t.state, batch, 1e-4, 1e-4)
     assert np.isfinite(float(out["R1_loss"]))
     assert np.isfinite(float(out["toal_loss"]))
+
+
+def test_test_report_lpips_columns(tmp_path, corpus, capsys):
+    """VERDICT r4 #7: with `lpips_weights` configured, test() emits the
+    reference's LPIPSw/LPIPS columns (HdTrainer.py:553-564); without, the
+    aggregate print STATES their absence instead of silently printing 8
+    of the reference's 10 numbers."""
+    import torch
+
+    from tests.test_lpips import _random_torch_sd
+
+    wpath = str(tmp_path / "lpips.pth")
+    torch.save(_random_torch_sd(seed=4), wpath)
+
+    cfg = _config(tmp_path, corpus, name="P2p", size=64,
+                  lpips_weights=wpath)
+    t = P2pTrainer(cfg, quiet=True)
+    agg = t.test(write_dicom=False)
+    assert "LPIPS" in agg and "LPIPSw" in agg
+    assert np.isfinite(agg["LPIPS"]) and np.isfinite(agg["LPIPSw"])
+
+    cfg2 = _config(tmp_path, corpus, name="P2p", size=64,
+                   save_root=str(tmp_path / "m2") + "/")
+    t2 = P2pTrainer(cfg2, quiet=False)
+    capsys.readouterr()
+    agg2 = t2.test(write_dicom=False)
+    out = capsys.readouterr().out
+    assert "LPIPS" not in agg2
+    assert "LPIPSw/LPIPS: not computed" in out
