@@ -78,9 +78,16 @@ def instance_norm(x, eps: float = 1e-5, spatial_axis: Optional[str] = None,
     device — those are the symmetric border extension, which the reference
     computation (unsharded forward over the symmetric-extended image) also
     sees — and the sums combine with a ``psum`` over the axis. This makes
-    the sharded forward bit-match the extended-image forward everywhere."""
+    the sharded forward bit-match the extended-image forward everywhere.
+
+    Stats dtype is ``promote_types(x.dtype, float32)``: bit-identical to
+    the old hard f32 cast on every production dtype (bf16/f32), but f64
+    inputs keep f64 stats — so the x64 schedule-equality tests
+    (tests/test_parallel_pipeline.py) measure the schedule, not f32
+    truncation noise injected mid-f64-graph."""
+    stats_t = jnp.promote_types(x.dtype, jnp.float32)
     if spatial_axis is not None:
-        xf = x.astype(jnp.float32)
+        xf = x.astype(stats_t)
         h = xf.shape[1]
         idx = jax.lax.axis_index(spatial_axis)
         nproc = jax.lax.psum(1, spatial_axis)
@@ -106,9 +113,10 @@ def instance_norm(x, eps: float = 1e-5, spatial_axis: Optional[str] = None,
     # one-pass statistics: E[x²]−E[x]² lets XLA fuse both reductions into a
     # single read of the activation (vs mean-then-var reading it twice).
     # Measured on v5e: generator fwd 512² b=32 bf16 157.5 → 143.6 ms (+10%).
-    # Stats are f32 and variance is clamped at 0, so the cancellation risk
-    # of the one-pass form is bounded; torch-parity locked by test.
-    xf = x.astype(jnp.float32)
+    # Stats are f32 (f64 under x64 inputs) and variance is clamped at 0, so
+    # the cancellation risk of the one-pass form is bounded; torch-parity
+    # locked by test.
+    xf = x.astype(stats_t)
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
     m2 = jnp.mean(xf * xf, axis=(1, 2), keepdims=True)
     var = jnp.maximum(m2 - mean * mean, 0.0)

@@ -161,11 +161,12 @@ _MODEL_AXES = ("fsdp", "tp", "sp", "depth", "pp")
 def plan_from_spec(spec, devices: Optional[Sequence] = None) -> MeshPlan:
     """Build a MeshPlan from a ``config.mesh`` dict — keys dp/fsdp/tp/sp/
     depth/pp, each an axis extent (default 1). At most one model axis
-    (fsdp/tp/sp/depth/pp) may exceed 1; dp composes with any of them except
-    pp (the GPipe schedule owns its whole 1-D mesh). ``{}`` or ``{dp: N}``
-    is a plain data-parallel mesh. ``depth`` shards the 3-D family's volume
-    D axis (parallel/volume.py); ``pp`` stages the P2p generator's residual
-    body GPipe-style (parallel/pipeline.py)."""
+    (fsdp/tp/sp/depth/pp) may exceed 1; dp composes with any single one
+    (``{dp: 2, pp: 4}`` = 2 data-parallel pipeline groups of 4 stages).
+    ``{}`` or ``{dp: N}`` is a plain data-parallel mesh. ``depth`` shards
+    the 3-D family's volume D axis (parallel/volume.py); ``pp`` stages the
+    generator's residual body GPipe- or 1F1B-style
+    (parallel/pipeline.py)."""
     spec = dict(spec or {})
     unknown = set(spec) - {"dp", *_MODEL_AXES}
     if unknown:
@@ -179,11 +180,6 @@ def plan_from_spec(spec, devices: Optional[Sequence] = None) -> MeshPlan:
         raise ValueError(
             f"at most one of fsdp/tp/sp/depth/pp may exceed 1, got {spec} "
             "(dp composes with any single one)"
-        )
-    if sizes["pp"] > 1 and sizes["dp"] > 1:
-        raise ValueError(
-            f"pp does not compose with dp, got {spec} — the GPipe schedule "
-            "owns its whole 1-D mesh (amortize with microbatches instead)"
         )
     if devices is None:
         devices = jax.devices()
@@ -232,6 +228,10 @@ def plan_from_spec(spec, devices: Optional[Sequence] = None) -> MeshPlan:
         from ctagan_tpu.parallel.volume import make_dp_depth_mesh
 
         return MeshPlan(make_dp_depth_mesh(dp, n, devices), "depth", dp)
+    if kind == "pp":
+        from ctagan_tpu.parallel.pipeline import make_dp_pp_mesh
+
+        return MeshPlan(make_dp_pp_mesh(dp, n, devices), "pp", dp)
     from ctagan_tpu.parallel.spatial import make_dp_sp_mesh
 
     return MeshPlan(make_dp_sp_mesh(dp, n, devices), "sp", dp)

@@ -64,6 +64,7 @@ from ctagan_tpu.models.layers import (
 )
 
 PP_AXIS = "pp"
+DATA_AXIS = "data"
 
 
 def make_pp_mesh(n_stages: int, devices: Optional[Sequence] = None) -> Mesh:
@@ -72,6 +73,36 @@ def make_pp_mesh(n_stages: int, devices: Optional[Sequence] = None) -> Mesh:
     if len(devices) < n_stages:
         raise ValueError(f"need {n_stages} devices, have {len(devices)}")
     return Mesh(np.array(devices[:n_stages]), (PP_AXIS,))
+
+
+def make_dp_pp_mesh(
+    dp: int, n_stages: int, devices: Optional[Sequence] = None
+) -> Mesh:
+    """2-D (data, pp) mesh: ``dp`` independent pipeline groups, batch
+    sharded over ``data``, stages over ``pp``. pp is the minor (fastest-
+    varying) axis so each pipeline's stage-to-stage ppermute rides
+    neighbouring devices (ICI) while the dp gradient all-reduce crosses
+    groups."""
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < dp * n_stages:
+        raise ValueError(
+            f"need {dp * n_stages} devices, have {len(devices)}"
+        )
+    arr = np.array(devices[: dp * n_stages]).reshape(dp, n_stages)
+    return Mesh(arr, (DATA_AXIS, PP_AXIS))
+
+
+def _n_stages(mesh: Mesh) -> int:
+    """Stage count = the pp-axis extent (mesh may also carry a data axis)."""
+    return dict(zip(mesh.axis_names, mesh.devices.shape))[PP_AXIS]
+
+
+def _x_spec(mesh: Mesh) -> P:
+    """Batch spec: sharded over data when the mesh has a dp axis (each
+    pipeline group runs the schedule on its batch shard), replicated on a
+    pure-pp mesh."""
+    return P(DATA_AXIS) if DATA_AXIS in mesh.axis_names else P()
 
 
 # ---------------------------------------------------------------------------
@@ -191,8 +222,13 @@ def _place_packed(packed, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 def _pp_program(generator, mesh: Mesh, microbatches: int):
-    """shard_map'd ``(packed_params, x) -> y`` running the GPipe schedule."""
-    n_stages = len(mesh.devices.ravel())
+    """shard_map'd ``(packed_params, x) -> y`` running the GPipe schedule.
+
+    On a 2-D (data, pp) mesh each data-parallel group runs its own pipeline
+    over its batch shard — the schedule below only ever names the pp axis,
+    so the same program serves both mesh shapes; GSPMD/shard_map transpose
+    inserts the dp gradient all-reduce for the replicated params."""
+    n_stages = _n_stages(mesh)
     M = microbatches
 
     def fn(body_params, rest_p, xin):
@@ -247,11 +283,12 @@ def _pp_program(generator, mesh: Mesh, microbatches: int):
         body = out.reshape(h0.shape)
         return _up_tail(generator, rest_p, body)  # replicated epilogue
 
+    xs = _x_spec(mesh)
     return shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(PP_AXIS), P(), P()),
-        out_specs=P(),
+        in_specs=(P(PP_AXIS), P(), xs),
+        out_specs=xs,
         check_vma=False,
     )
 
@@ -270,7 +307,7 @@ def pipeline_generator_forward(
     reordering.
     """
     mesh = mesh or make_pp_mesh(len(jax.devices()))
-    n_stages = len(mesh.devices.ravel())
+    n_stages = _n_stages(mesh)
     packed = pp_pack_params(params, generator.n_residual_blocks, n_stages)
     xs = jnp.asarray(x)
     if xs.shape[0] % microbatches:
@@ -311,7 +348,7 @@ def shard_state_pp(state, generator, mesh: Mesh):
     The packed zeros of a fresh Adam state equal the sequential init, so
     grads-then-update equals the sequential step (locked by test)."""
     n_blocks = generator.n_residual_blocks
-    n_stages = len(mesh.devices.ravel())
+    n_stages = _n_stages(mesh)
     pack = lambda t: pp_pack_params(t, n_blocks, n_stages)
     repl = lambda t: jax.tree.map(
         lambda a: jax.device_put(a, NamedSharding(mesh, P())), t
@@ -370,22 +407,32 @@ def pp_reg_train_step_fn(
     microbatches: int,
     dual_window_mode: bool = False,
     stage2: bool = False,
+    schedule: str = "gpipe",
 ):
     """The reg-family (RegGAN / HD stage-1 / HD stage-2) train step with
     the GENERATOR pipelined over the ``pp`` mesh — the flagship three-net
-    step's G forward+backward runs through the GPipe schedule (autodiff
-    transpose backward), while R and D stay replicated (the ResUNet is
-    encoder-decoder shaped — no homogeneous stage split — and together
-    with D carries <25% of the step FLOPs; reference hot loop
-    HdTrainer.py:204-228). ``steps.reg_train_step`` runs UNCHANGED with
-    the ``PPGenerator`` adapter swapped in; call with a state placed by
-    ``shard_state_pp``."""
+    step's G forward+backward runs through the pipeline schedule, while R
+    and D stay replicated (the ResUNet is encoder-decoder shaped — no
+    homogeneous stage split — and together with D carries <25% of the
+    step FLOPs; reference hot loop HdTrainer.py:204-228).
+    ``steps.reg_train_step`` runs UNCHANGED with the ``PPGenerator``
+    adapter swapped in; call with a state placed by ``shard_state_pp``.
+
+    ``schedule='gpipe'``: backward = autodiff transpose of the forward
+    scan (stashes grow with the microbatch count M).
+    ``schedule='1f1b'``: the G+R value-and-grad runs through the
+    hand-scheduled one-forward-one-backward program — O(S) in-flight
+    stashes independent of M, with R's fwd+bwd inside the per-microbatch
+    loss epilogue (steps.reg_train_step's ``pipeline_1f1b`` hook)."""
     from functools import partial
 
     from ctagan_tpu.train import steps
 
     g = g_model.clone(fused_body=False, fused_body_grad=False, tap_heads=False)
     ppg = PPGenerator(g, mesh, microbatches)
+    if schedule not in ("gpipe", "1f1b"):
+        raise ValueError(f"unknown pp schedule {schedule!r} (gpipe | 1f1b)")
+    pl = (g, mesh, microbatches) if schedule == "1f1b" else None
     fn = partial(steps.reg_train_step, ppg, r_model, d_model, tx, cfg)
 
     @jax.jit
@@ -393,6 +440,7 @@ def pp_reg_train_step_fn(
         return fn(
             state, batch, lr, lr_d=lr_d,
             dual_window_mode=dual_window_mode, stage2=stage2,
+            pipeline_1f1b=pl,
         )
 
     return step
@@ -502,11 +550,25 @@ def pp_train_step_fn(
 # 1F1B: hand-scheduled forward+backward pipeline (PipeDream-flush style)
 # ---------------------------------------------------------------------------
 
-def _pp_1f1b_grad_program(generator, d_model, cfg, mesh: Mesh, microbatches):
-    """shard_map'd ``(body_params, rest_p, d_params, a, b) ->
-    ((loss, (l1, adv)), (body_grads, rest_grads))`` computing the P2p
-    generator loss value-and-grad through a one-forward-one-backward
-    pipeline schedule.
+
+def pp_1f1b_value_and_grad(generator, mesh: Mesh, microbatches, epilogue):
+    """Generic 1F1B value-and-grad engine: shard_map'd
+    ``(body_params, rest_p, extras, frozen, arrays) ->
+    ((loss, aux), (body_grads, rest_grads, extras_grads))``.
+
+    ``epilogue(rest_p, extras, frozen, y, mb) -> (loss, aux)`` is the
+    per-microbatch loss run on the last stage's body output ``y`` —
+    up/tail plus whatever loss terms the family needs. ``extras`` is a
+    pytree of ADDITIONAL differentiated params (e.g. the reg family's
+    ResUNet params — its whole fwd+bwd runs inside the epilogue),
+    ``frozen`` a non-differentiated pytree (e.g. D params for the
+    adversarial term), and ``mb`` the per-microbatch slice of the
+    ``arrays`` dict (key ``'a'`` is the generator input that feeds the
+    pipeline; every other key is epilogue-only). ``aux`` must be a pytree
+    of scalars with input-independent structure; per-microbatch values
+    are averaged over microbatches (exact for elementwise-mean losses;
+    mask-normalized terms weight microbatches equally — the same
+    convention grad_accum documents, train/steps.py:603-607).
 
     Why not autodiff the GPipe scan? Its transpose replays the whole
     forward scan before any backward tick, stashing residuals for all
@@ -524,25 +586,28 @@ def _pp_1f1b_grad_program(generator, d_model, cfg, mesh: Mesh, microbatches):
     O(S) independent of M. The stage backward recomputes its forward from
     the stashed INPUT (remat), so nothing else is stashed. Activation
     cotangents ride the reversed ppermute ring; the per-microbatch loss
-    epilogue (up/tail + L1 + D adversarial term, replicated — like the
-    head/tail forward in ``_pp_program``) runs where the last stage's
-    output lands, seeding the backward at 1/M per microbatch so the total
-    equals the full-batch mean loss. Reference semantics of the loss:
-    p2pTrainer.py:127-141.
+    epilogue (replicated — like the head/tail forward in ``_pp_program``)
+    runs where the last stage's output lands, seeding the backward at 1/M
+    per microbatch so the total equals the full-batch mean loss. On a 2-D
+    (data, pp) mesh each dp group runs its own schedule on its batch
+    shard; grads and loss scalars are pmean'd over dp at the end.
     """
-    from ctagan_tpu.ops import losses as L
-
-    S = len(mesh.devices.ravel())
+    S = _n_stages(mesh)
+    has_dp = DATA_AXIS in mesh.axis_names
     M = microbatches
     T = M + 2 * (S - 1)  # last backward: stage 0, microbatch M-1
     R = 2 * (S - 1) + 1  # stash ring depth (max stash lifetime + 1)
 
-    def fn(body_params, rest_p, d_params, a, b):
+    def fn(body_params, rest_p, extras, frozen, arrays):
         sp = jax.tree.map(lambda t: t[0], body_params)  # (k, ...) local
         s = jax.lax.axis_index(PP_AXIS)
+        a = arrays["a"]
         mb = a.shape[0] // M
-        a_mb = a.reshape(M, mb, *a.shape[1:])
-        b_mb = b.reshape(M, mb, *b.shape[1:])
+        mb_arrays = {
+            key: v.reshape(M, v.shape[0] // M, *v.shape[1:])
+            for key, v in arrays.items()
+        }
+        a_mb = mb_arrays["a"]
         k = jax.tree.leaves(sp)[0].shape[0]
 
         def blocks(sp_, h):
@@ -552,22 +617,21 @@ def _pp_1f1b_grad_program(generator, d_model, cfg, mesh: Mesh, microbatches):
                 )
             return h
 
-        def epilogue_loss(rp, y, am, bm):
-            fake = _up_tail(generator, rp, y)
-            l1 = L.l1(fake, bm) * cfg["P2P_lamda"]
-            pred = d_model.apply(d_params, jnp.concatenate([am, fake], -1))
-            adv = L.mse(pred, jnp.ones_like(pred)) * cfg["Adv_lamda"]
-            return l1 + adv, (l1, adv)
-
         h_sd = jax.eval_shape(
             lambda rp, x: _head_down(generator, rp, x), rest_p, a_mb[0]
         )
         zero_h = jnp.zeros(h_sd.shape, h_sd.dtype)
+        acc_t = jnp.promote_types(jnp.float32, a.dtype)
+        mb0 = {key: v[0] for key, v in mb_arrays.items()}
+        _, aux_sd = jax.eval_shape(
+            lambda rp, ex, fz, yy, m: epilogue(rp, ex, fz, yy, m),
+            rest_p, extras, frozen, h_sd, mb0,
+        )
         fwd_ring = [(i, i + 1) for i in range(S - 1)]
         bwd_ring = [(i + 1, i) for i in range(S - 1)]
 
         def tick(carry, u):
-            cf, cb, stash, bg, rg, hg, lo, l1a, adva = carry
+            cf, cb, stash, bg, rg, exg, hg, lo, auxa = carry
             # ---- forward slot: microbatch u - s ----
             mf = u - s
             mf_ok = (mf >= 0) & (mf < M)
@@ -592,20 +656,28 @@ def _pp_1f1b_grad_program(generator, d_model, cfg, mesh: Mesh, microbatches):
             me = u - (S - 1)
             me_ok = (me >= 0) & (me < M)
             me_c = jnp.clip(me, 0, M - 1)
-            am = jax.lax.dynamic_index_in_dim(a_mb, me_c, 0, keepdims=False)
-            bm = jax.lax.dynamic_index_in_dim(b_mb, me_c, 0, keepdims=False)
+            mb_e = {
+                key: jax.lax.dynamic_index_in_dim(v, me_c, 0, keepdims=False)
+                for key, v in mb_arrays.items()
+            }
             loss_m, vjp_e, aux_m = jax.vjp(
-                lambda rp, yy: epilogue_loss(rp, yy, am, bm),
-                rest_p, y_last, has_aux=True,
+                lambda rp, ex, yy: epilogue(rp, ex, frozen, yy, mb_e),
+                rest_p, extras, y_last, has_aux=True,
             )
-            rg_m, dy = vjp_e(jnp.asarray(1.0 / M, loss_m.dtype))
-            acc_t = lo.dtype  # f32, or f64 under enable_x64
-            lo = lo + jnp.where(me_ok, loss_m / M, 0.0).astype(acc_t)
-            l1a = l1a + jnp.where(me_ok, aux_m[0] / M, 0.0).astype(acc_t)
-            adva = adva + jnp.where(me_ok, aux_m[1] / M, 0.0).astype(acc_t)
+            rg_m, exg_m, dy = vjp_e(jnp.asarray(1.0 / M, loss_m.dtype))
+            lo = lo + jnp.where(me_ok, loss_m / M, 0.0).astype(lo.dtype)
+            auxa = jax.tree.map(
+                lambda acc, v: acc
+                + jnp.where(me_ok, v / M, 0.0).astype(acc.dtype),
+                auxa, aux_m,
+            )
             rg = jax.tree.map(
                 lambda acc, g: acc + jnp.where(me_ok, g, jnp.zeros_like(g)),
                 rg, rg_m,
+            )
+            exg = jax.tree.map(
+                lambda acc, g: acc + jnp.where(me_ok, g, jnp.zeros_like(g)),
+                exg, exg_m,
             )
             # ---- backward slot: microbatch u - (2S - 2 - s) ----
             mbi = u - (2 * S - 2 - s)
@@ -636,7 +708,7 @@ def _pp_1f1b_grad_program(generator, d_model, cfg, mesh: Mesh, microbatches):
             )
             cf = jax.lax.ppermute(y, PP_AXIS, fwd_ring)
             cb = jax.lax.ppermute(a_cot, PP_AXIS, bwd_ring)
-            return (cf, cb, stash, bg, rg, hg, lo, l1a, adva), None
+            return (cf, cb, stash, bg, rg, exg, hg, lo, auxa), None
 
         carry0 = (
             zero_h,
@@ -644,24 +716,64 @@ def _pp_1f1b_grad_program(generator, d_model, cfg, mesh: Mesh, microbatches):
             jnp.zeros((R,) + zero_h.shape, zero_h.dtype),
             jax.tree.map(jnp.zeros_like, sp),
             jax.tree.map(jnp.zeros_like, rest_p),
+            jax.tree.map(jnp.zeros_like, extras),
             jax.tree.map(jnp.zeros_like, rest_p),
-            jnp.zeros((), jnp.promote_types(jnp.float32, a.dtype)),
-            jnp.zeros((), jnp.promote_types(jnp.float32, a.dtype)),
-            jnp.zeros((), jnp.promote_types(jnp.float32, a.dtype)),
+            jnp.zeros((), acc_t),
+            jax.tree.map(
+                lambda sd: jnp.zeros(
+                    (), jnp.promote_types(jnp.float32, sd.dtype)
+                ),
+                aux_sd,
+            ),
         )
         carry, _ = jax.lax.scan(tick, carry0, jnp.arange(T))
-        _, _, _, bg, rg, hg, lo, l1a, adva = carry
+        _, _, _, bg, rg, exg, hg, lo, auxa = carry
         # head grads live only on stage 0; epilogue grads are identical on
         # every stage (computed from the psum-broadcast y). Sum + replicate.
         hg = jax.lax.psum(hg, PP_AXIS)
         rest_g = jax.tree.map(lambda x, y_: x + y_, rg, hg)
+        if has_dp:
+            # each dp group computed its group-mean loss grads; the global
+            # loss is the mean over groups -> pmean grads + scalars over dp
+            bg = jax.lax.pmean(bg, DATA_AXIS)
+            rest_g = jax.lax.pmean(rest_g, DATA_AXIS)
+            exg = jax.lax.pmean(exg, DATA_AXIS)
+            lo = jax.lax.pmean(lo, DATA_AXIS)
+            auxa = jax.lax.pmean(auxa, DATA_AXIS)
         body_g = jax.tree.map(lambda t: t[None], bg)  # local (1, k, ...)
-        return (lo, (l1a, adva)), (body_g, rest_g)
+        return (lo, auxa), (body_g, rest_g, exg)
 
+    xs = _x_spec(mesh)
     return shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(PP_AXIS), P(), P(), P(), P()),
-        out_specs=((P(), (P(), P())), (P(PP_AXIS), P())),
+        in_specs=(P(PP_AXIS), P(), P(), P(), xs),
+        out_specs=((P(), P()), (P(PP_AXIS), P(), P())),
         check_vma=False,
     )
+
+
+def _pp_1f1b_grad_program(generator, d_model, cfg, mesh: Mesh, microbatches):
+    """P2p 1F1B program: ``(body_params, rest_p, d_params, a, b) ->
+    ((loss, (l1, adv)), (body_grads, rest_grads))`` — the generic
+    ``pp_1f1b_value_and_grad`` engine with the P2p loss epilogue
+    (up/tail + L1 + D adversarial term; reference semantics
+    p2pTrainer.py:127-141)."""
+    from ctagan_tpu.ops import losses as L
+
+    def epilogue(rest_p, extras, d_params, y, mb):
+        fake = _up_tail(generator, rest_p, y)
+        l1 = L.l1(fake, mb["b"]) * cfg["P2P_lamda"]
+        pred = d_model.apply(d_params, jnp.concatenate([mb["a"], fake], -1))
+        adv = L.mse(pred, jnp.ones_like(pred)) * cfg["Adv_lamda"]
+        return l1 + adv, (l1, adv)
+
+    prog = pp_1f1b_value_and_grad(generator, mesh, microbatches, epilogue)
+
+    def wrapped(body_params, rest_p, d_params, a, b):
+        (lo, aux), (bg, rg, _exg) = prog(
+            body_params, rest_p, (), d_params, {"a": a, "b": b}
+        )
+        return (lo, aux), (bg, rg)
+
+    return wrapped

@@ -98,6 +98,48 @@ def tp_param_specs(params):
     return jax.tree_util.tree_map_with_path(_spec_for, params)
 
 
+def _reg_spec_for(path: tuple, leaf) -> P:
+    """Megatron pairing for a ResUNet (models/reg.py RegNet) param leaf.
+
+    The shardable units are the self-contained residual pairs — the
+    ``RegResnetBlock``s nested in each down stage, the ``t_0..t_2``
+    bottleneck blocks, and ``refine_res`` (reference reg.py:50-56 /
+    layers.py:244-300): conv1 column-parallel (output channels sharded; the
+    InstanceNorm + ReLU between are per-(sample, channel) — local), conv2
+    row-parallel (input channels sharded, ONE psum completes the
+    contraction before the skip add). Everything else replicates: the lone
+    per-stage RegConv convs and the up convs consume full-width skips (a
+    column split there would force a gather before every concat), and the
+    head/flow taps are 2-channel-degenerate. Narrowest sharded dim is the
+    down_1/refine blocks' 32 channels -> up to 32-way."""
+    keys = [
+        str(getattr(k, "key", getattr(k, "name", str(k)))) for k in path
+    ]
+    if leaf.ndim == 0:
+        return P()
+    in_block = any(
+        k.startswith("RegResnetBlock") or k.startswith("t_")
+        or k == "refine_res"
+        for k in keys
+    )
+    if not in_block:
+        return P()
+    name = keys[-1]
+    conv1 = any(k == "ConvTorch_0" for k in keys[1:])
+    if conv1 and name == "kernel" and leaf.ndim == 4:
+        return P(None, None, None, MODEL_AXIS)  # column-parallel: O sharded
+    if conv1 and name == "bias" and leaf.ndim == 1:
+        return P(MODEL_AXIS)
+    if name == "kernel" and leaf.ndim == 4:
+        return P(None, None, MODEL_AXIS, None)  # row-parallel: I sharded
+    return P()  # conv2 bias (added after the psum)
+
+
+def reg_param_specs(params):
+    """PartitionSpec pytree for a RegNet param tree (``_reg_spec_for``)."""
+    return jax.tree_util.tree_map_with_path(_reg_spec_for, params)
+
+
 def shard_params_tp(params, mesh: Mesh):
     """Place ``params`` on ``mesh`` under the TP layout. Sharded dims must
     divide by the mesh's ``model`` extent (body width 256 → up to 256-way)."""
@@ -139,11 +181,14 @@ def shard_state_tp(state, mesh: Mesh):
     """Place ANY train-state dataclass (``P2pState``/``RegState``/...) for
     TP training: the generator's params, Adam moments and EMA shadow go to
     the Megatron layout (``tp_param_specs`` path rules — non-body leaves
-    fall through to replicated), every other field (R, D, their optimizers,
-    rng, replay buffers) replicates. GSPMD derives the sharded backward and
-    the shard-local optimizer update from the placement alone, so the
-    family's plain jitted train step runs unchanged — this is what makes TP
-    a config-level feature for the HD three-net family, not just P2p."""
+    fall through to replicated), and the reg family's ResUNet params +
+    moments to the ``reg_param_specs`` layout (its residual pairs channel-
+    sharded; VERDICT r4 #3 — R was the largest replicated component of the
+    flagship HD step). Every other field (D, its optimizer, rng, replay
+    buffers) replicates. GSPMD derives the sharded backward and the
+    shard-local optimizer update from the placement alone, so the family's
+    plain jitted train step runs unchanged — this is what makes TP a
+    config-level feature for the HD three-net family, not just P2p."""
     import dataclasses
 
     def put(tree, specs):
@@ -163,6 +208,7 @@ def shard_state_tp(state, mesh: Mesh):
         "g_params", "g_opt", "g_ema",
         "g_a2b_params", "g_b2a_params", "g_ema_b2a",
     }
+    reg_fields = {"r_params", "r_opt"}
     out = {}
     for f in dataclasses.fields(state):
         v = getattr(state, f.name)
@@ -170,6 +216,8 @@ def shard_state_tp(state, mesh: Mesh):
             continue
         if f.name in tp_fields:
             out[f.name] = put(v, tp_param_specs(v))
+        elif f.name in reg_fields:
+            out[f.name] = put(v, reg_param_specs(v))
         else:
             out[f.name] = replicate(v)
     return dataclasses.replace(state, **out)

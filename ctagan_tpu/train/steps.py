@@ -518,6 +518,7 @@ def reg_train_step(
     lr_d=None,
     dual_window_mode=False,
     stage2=False,
+    pipeline_1f1b=None,
 ):
     """RegGAN / HD-stage-1 / HD-stage-2 unified step.
 
@@ -528,6 +529,14 @@ def reg_train_step(
     - ``stage2``: D is multi-scale (feature-list output) with the weighted
       GANLoss, D loss divided by D=2, plus the window-masked SR_loss2 from
       the B1-thresholded body mask.
+    - ``pipeline_1f1b``: ``(plain_generator, mesh, microbatches)`` — run
+      the G+R phase's value-and-grad through the hand-scheduled 1F1B
+      pipeline (parallel/pipeline.py::pp_1f1b_value_and_grad): G's body
+      staged over the pp mesh axis, R's full fwd+bwd inside the
+      per-microbatch loss epilogue. Requires a stage-packed state
+      (shard_state_pp) and ``g_model`` being the matching PPGenerator
+      (the D phase re-forwards through it). Stage-2 caveat: SR_loss2's
+      mask normalization is per microbatch (grad_accum convention).
     """
     rng, k1, k2 = jax.random.split(state.rng, 3)
     if bool(cfg.get("aligned_aug", False)):
@@ -607,14 +616,16 @@ def reg_train_step(
     # by per-microbatch mask size (the standard grad-accum convention).
     n_accum = int(cfg.get("grad_accum", 1))
 
-    def gr_core(params, ra, rb, rb1):
-        gp, rp = params
-        fake_b = g_model.apply(gp, ra)
+    def tail_losses(rp, dparams, fake_b, rb, rb1):
+        """Everything after the G forward: R flow + warp + SM/SR losses,
+        the D adversarial term, and the stage-2 extras. Shared between the
+        sequential ``gr_core`` and the 1F1B pipeline epilogue (which runs
+        it per microbatch on the last stage's up/tail output)."""
         flow = _predict_flow(rp, fake_b, rb)
         warped = _warp(fake_b, flow)
         sm = smooth_w * smoothing_loss(flow)
         sr = corr_w * L.l1(warped, rb)
-        d_out = d_model.apply(state.d_params, fake_b)
+        d_out = d_model.apply(dparams, fake_b)
         if stage2:
             adv = adv_w * L.gan_loss_multiscale(d_out, True)
         else:
@@ -622,7 +633,7 @@ def reg_train_step(
         total = sm + adv + sr
         aux = {"SM_loss": sm, "SR_loss": sr, "adv_loss": adv}
         if stage2 and cfg.get("FM_lamda", 0.0) > 0.0:
-            real_out = d_model.apply(state.d_params, rb)
+            real_out = d_model.apply(dparams, rb)
             fm = cfg["FM_lamda"] * L.feature_matching_loss(
                 d_out, real_out, num_d=len(d_out)
             )
@@ -634,9 +645,39 @@ def reg_train_step(
             )
             total = total + sr2
             aux["SR_loss2"] = sr2
+        return total, aux
+
+    def gr_core(params, ra, rb, rb1):
+        gp, rp = params
+        fake_b = g_model.apply(gp, ra)
+        total, aux = tail_losses(rp, state.d_params, fake_b, rb, rb1)
         return total, (aux, fake_b)
 
-    if n_accum > 1:
+    if pipeline_1f1b is not None:
+        # 1F1B pipelined G+R value-and-grad: G's body staged over the pp
+        # mesh, the whole tail (up/tail + R + warp + losses) as the
+        # per-microbatch epilogue — R grads fall out of the epilogue vjp.
+        from ctagan_tpu.parallel import pipeline as _pl
+
+        gen, pp_mesh, pp_micro = pipeline_1f1b
+
+        def _epilogue(rest_p, extras, frozen, y, mb):
+            (rp,) = extras
+            fake_mb = _pl._up_tail(gen, rest_p, y)
+            return tail_losses(rp, frozen, fake_mb, mb["b"], mb.get("b1"))
+
+        prog = _pl.pp_1f1b_value_and_grad(gen, pp_mesh, pp_micro, _epilogue)
+        arrays = {"a": real_a, "b": real_b}
+        if real_b1 is not None:
+            arrays["b1"] = real_b1
+        (gr_loss, aux), (bg, restg, exg) = prog(
+            state.g_params["body"], state.g_params["rest"],
+            (state.r_params,), state.d_params, arrays,
+        )
+        (r_g,) = exg
+        grads = ({"body": bg, "rest": restg}, r_g)
+        fake_b = None  # D phase re-forwards through the pipeline
+    elif n_accum > 1:
         mbs = {"a": real_a, "b": real_b}
         if real_b1 is not None:
             mbs["b1"] = real_b1

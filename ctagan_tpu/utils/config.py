@@ -136,7 +136,7 @@ class Config:
     # (parallel/pipeline.py; P2p and reg/HD families — R/D replicate —
     # body blocks must divide pp).
     # At most one of fsdp/tp/sp/depth/pp may exceed 1; dp composes with any
-    # one except pp.
+    # single one ({dp: 2, pp: 4} = 2 data-parallel pipeline groups).
     # Empty (default) = the legacy data_parallel behavior. When a model
     # axis is active the Pallas fused paths are gated off (single-device
     # programs — GSPMD can't partition them); everything else is the plain
@@ -168,6 +168,11 @@ class Config:
     collapse_lrd_backoff: float = 0.5  # D-lr multiplier on each fire
     val_every: int = 5  # epochs between validations (reference: hardcoded 5)
     log_every: int = 50  # steps between stdout log lines
+    live_panels: bool = True  # per-batch image panels at the log cadence:
+    # refresh {name}_latest_panel.png + dashboard.html from the live
+    # training batch every log_every steps (the reference's visdom pushes
+    # image panels on every log call, trainer/utils.py:95-110); uint8
+    # device-side pack keeps the pull <1% of step time on tunneled chips
     checkpoint_every_iters: int = 40000  # HD mid-epoch checkpoint cadence
     resume: bool = False  # resume from newest checkpoint in save_root
     stall_timeout: float = 0.0  # >0: arm a per-process stall watchdog — if
@@ -240,12 +245,9 @@ class Config:
                     "(dp composes with any single one)"
                 )
             if int(self.mesh.get("pp", 1)) > 1:
-                if int(self.mesh.get("dp", 1)) > 1:
-                    raise ValueError(
-                        "mesh.pp does not compose with mesh.dp (the GPipe "
-                        "schedule owns its whole 1-D mesh; amortize with "
-                        "pp_microbatches instead)"
-                    )
+                # under dp x pp each data-parallel pipeline group runs the
+                # schedule on its own batchSize-sized shard, so the
+                # per-group batch is what must split into microbatches
                 if self.batchSize % self.pp_microbatches != 0:
                     raise ValueError(
                         f"batchSize {self.batchSize} must divide into "

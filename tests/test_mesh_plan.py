@@ -33,8 +33,6 @@ def test_plan_from_spec_validation():
         plan_from_spec({"bogus": 2})
     with pytest.raises(ValueError, match="at most one of"):
         plan_from_spec({"fsdp": 2, "tp": 2})
-    with pytest.raises(ValueError, match="pp does not compose"):
-        plan_from_spec({"dp": 2, "pp": 2})
     with pytest.raises(ValueError, match="devices"):
         plan_from_spec({"dp": 4, "fsdp": 4})  # 16 > 8
     with pytest.raises(ValueError, match=">= 1"):
@@ -51,6 +49,11 @@ def test_plan_from_spec_validation():
     p = plan_from_spec({"pp": 3})
     assert p.kind == "pp" and p.batch_scale == 1 and p.model_sharded
     assert dict(zip(p.mesh.axis_names, p.mesh.devices.shape)) == {"pp": 3}
+    p = plan_from_spec({"dp": 2, "pp": 4})
+    assert p.kind == "pp" and p.batch_scale == 2 and p.model_sharded
+    assert dict(zip(p.mesh.axis_names, p.mesh.devices.shape)) == {
+        "data": 2, "pp": 4,
+    }
 
 
 def test_config_mesh_validation():
@@ -178,9 +181,10 @@ def test_p2p_tp_config_matches_single_device(tmp_path, corpus8):
 
 def test_hd1_tp_config_matches_single_device(tmp_path, corpus8):
     """`mesh: {tp: 2}` on the flagship HD three-net step: the generator
-    Megatron-sharded via the generic shard_state_tp, ResUNet/D replicated
-    — equals the single-device step (TP training is a config feature for
-    the HD family, not just P2p)."""
+    Megatron-sharded AND the ResUNet's residual pairs channel-sharded
+    (VERDICT r4 #3 — reg_param_specs), D replicated — equals the
+    single-device step (TP training is a config feature for the HD
+    family, not just P2p)."""
     cfg_1 = _config(tmp_path, corpus8, name="HdGan", size=128, val_every=99,
                     save_root=str(tmp_path / "hds") + "/")
     t_1 = HdTrainerStage1(cfg_1, quiet=True)
@@ -191,6 +195,11 @@ def test_hd1_tp_config_matches_single_device(tmp_path, corpus8):
                      save_root=str(tmp_path / "hdt") + "/")
     t_tp = HdTrainerStage1(cfg_tp, quiet=True)
     assert t_tp.plan.kind == "tp" and t_tp.batch_scale == 1
+    # the ResUNet really lives sharded: a resblock conv1 kernel splits its
+    # output-channel dim over the model axis
+    k1 = t_tp.state.r_params["params"]["down_1"]["RegResnetBlock_0"][
+        "ConvTorch_0"]["Conv_0"]["kernel"]
+    assert not k1.sharding.is_fully_replicated
     t_tp.train(max_steps_per_epoch=1)
     _tree_allclose(_final_g(t_1), _final_g(t_tp))
     _tree_allclose(
@@ -293,20 +302,97 @@ def test_hd1_pp_config_matches_single_device(tmp_path, corpus8):
     b = jax.tree.leaves(jax.device_get(t_s2._canonical_state().g_params))
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
-    # 1f1b stays P2p-only, with a clear error
+    # VERDICT r4 #2: 1f1b now drives the flagship family too — the HD
+    # stage-1 step under the hand-scheduled pipeline equals the
+    # single-device step (R's fwd+bwd inside the per-microbatch epilogue)
     cfg_1f = _config(tmp_path, corpus8, name="HdGan", size=128,
                      mesh={"pp": 3}, pp_microbatches=2, batchSize=2,
                      pp_schedule="1f1b", val_every=99,
                      save_root=str(tmp_path / "hdf") + "/")
-    with pytest.raises(ValueError, match="1f1b supports the P2p"):
-        HdTrainerStage1(cfg_1f, quiet=True)
+    t_1f = HdTrainerStage1(cfg_1f, quiet=True)
+    t_1f.train(max_steps_per_epoch=1)
+    _tree_allclose(
+        _final_g(t_1), jax.device_get(t_1f._canonical_state().g_params)
+    )
+    _tree_allclose(
+        jax.device_get(t_1.state.r_params),
+        jax.device_get(t_1f.state.r_params),
+    )
+
+
+def test_p2p_dp_pp_config_matches_single_device(tmp_path, corpus8):
+    """VERDICT r4 #1: `mesh: {dp: 2, pp: 3}` — two data-parallel pipeline
+    groups, batch sharded over dp, the body staged over pp WITHIN each
+    group — equals the single-device step on the same global batch.
+    Pipeline training no longer forfeits the batch axis."""
+    cfg_1 = _config(tmp_path, corpus8, name="P2p", size=64, val_every=99,
+                    batchSize=4, save_root=str(tmp_path / "sd") + "/")
+    t_1 = P2pTrainer(cfg_1, quiet=True)
+    t_1.train(max_steps_per_epoch=1)
+
+    cfg_dpp = _config(tmp_path, corpus8, name="P2p", size=64,
+                      mesh={"dp": 2, "pp": 3}, pp_microbatches=2,
+                      batchSize=2, val_every=99,
+                      save_root=str(tmp_path / "dpp") + "/")
+    t_dpp = P2pTrainer(cfg_dpp, quiet=True)
+    assert t_dpp.plan.kind == "pp" and t_dpp.batch_scale == 2
+    packed = jax.device_get(t_dpp.state.g_params)
+    assert "body" in packed and "rest" in packed  # really stage-packed
+    t_dpp.train(max_steps_per_epoch=1)
+    _tree_allclose(
+        _final_g(t_1), jax.device_get(t_dpp._canonical_state().g_params)
+    )
+
+
+def test_p2p_dp_pp_1f1b_matches_single_device(tmp_path, corpus8):
+    """`mesh: {dp: 2, pp: 3}` with the 1F1B schedule: the hand-scheduled
+    pipeline runs per dp group with grads pmean'd across groups — equals
+    the single-device step on the same global batch."""
+    cfg_1 = _config(tmp_path, corpus8, name="P2p", size=64, val_every=99,
+                    batchSize=4, save_root=str(tmp_path / "sd1f") + "/")
+    t_1 = P2pTrainer(cfg_1, quiet=True)
+    t_1.train(max_steps_per_epoch=1)
+
+    cfg_dpp = _config(tmp_path, corpus8, name="P2p", size=64,
+                      mesh={"dp": 2, "pp": 3}, pp_microbatches=2,
+                      pp_schedule="1f1b", batchSize=2, val_every=99,
+                      save_root=str(tmp_path / "dpp1f") + "/")
+    t_dpp = P2pTrainer(cfg_dpp, quiet=True)
+    assert t_dpp.plan.kind == "pp" and t_dpp.batch_scale == 2
+    t_dpp.train(max_steps_per_epoch=1)
+    _tree_allclose(
+        _final_g(t_1), jax.device_get(t_dpp._canonical_state().g_params)
+    )
+
+
+def test_hd1_dp_pp_config_matches_single_device(tmp_path, corpus8):
+    """`mesh: {dp: 2, pp: 3}` on the flagship HD three-net step: G staged
+    over pp within each of 2 data-parallel groups, R/D replicated with
+    grads all-reduced over dp by GSPMD — equals the single-device step."""
+    cfg_1 = _config(tmp_path, corpus8, name="HdGan", size=128, val_every=99,
+                    batchSize=4, save_root=str(tmp_path / "hsd") + "/")
+    t_1 = HdTrainerStage1(cfg_1, quiet=True)
+    t_1.train(max_steps_per_epoch=1)
+
+    cfg_dpp = _config(tmp_path, corpus8, name="HdGan", size=128,
+                      mesh={"dp": 2, "pp": 3}, pp_microbatches=2,
+                      batchSize=2, val_every=99,
+                      save_root=str(tmp_path / "hdpp") + "/")
+    t_dpp = HdTrainerStage1(cfg_dpp, quiet=True)
+    assert t_dpp.plan.kind == "pp" and t_dpp.batch_scale == 2
+    t_dpp.train(max_steps_per_epoch=1)
+    _tree_allclose(
+        _final_g(t_1), jax.device_get(t_dpp._canonical_state().g_params)
+    )
+    _tree_allclose(
+        jax.device_get(t_1.state.r_params),
+        jax.device_get(t_dpp.state.r_params),
+    )
 
 
 def test_pp_rejects_bad_configs(tmp_path, corpus8):
-    """pp surfaces clear errors: wrong family, grad_accum, dp composition,
-    indivisible microbatches."""
-    with pytest.raises(ValueError, match="does not compose with mesh.dp"):
-        load_config({"mesh": {"dp": 2, "pp": 2}})
+    """pp surfaces clear errors: wrong family, grad_accum, indivisible
+    microbatches."""
     with pytest.raises(ValueError, match="divide into"):
         load_config({"mesh": {"pp": 2}, "batchSize": 3,
                      "pp_microbatches": 2})

@@ -167,6 +167,110 @@ def test_1f1b_f32_loss_and_grad_envelope(stages, micro, blocks):
         )
 
 
+@pytest.mark.slow
+def test_1f1b_reg_grads_match_sequential_x64():
+    """VERDICT r4 #2: the 1F1B engine drives the flagship three-net reg/HD
+    loss — G's body staged, R's FULL fwd+bwd inside the per-microbatch
+    loss epilogue (the ``extras`` grads of ``pp_1f1b_value_and_grad``) —
+    and its G AND R gradients equal a plain value_and_grad of the
+    sequential loss. Proven in float64 per the r4b methodology (f32
+    cannot validate a pipeline schedule: IN-feeding conv grads carry
+    order-dependent cancellation residue at ~1e-3 rel; in f64 the floor
+    drops to ~1e-6 rel, set by IN's deliberate fp32 internal stats)."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        from ctagan_tpu.models import RegNet
+        from ctagan_tpu.ops import losses as L
+        from ctagan_tpu.ops.warp import smoothing_loss, warp2d
+        from ctagan_tpu.parallel import pipeline as pl
+
+        # slim shapes: RegNet's 7-level ladder pins size at 128 and f64
+        # conv arithmetic on the single-core CPU host is the wall-clock
+        # (the 3-stage/3-block variant measured 14 min of pure execution,
+        # r5 probe) — 2 stages x 1 block each + 2x1-sample microbatches
+        # keep the schedule/epilogue/extras-grads machinery fully
+        # exercised at ~40% of that
+        g = Generator(1, 1, n_residual_blocks=2)
+        r = RegNet(1, 1)
+        d = Discriminator(1)
+        size, micro, stages = 128, 2, 2
+        ks = jax.random.split(jax.random.PRNGKey(5), 3)
+        z = jnp.zeros((1, size, size, 1))
+        cast = lambda t: jax.tree.map(lambda x: x.astype(np.float64), t)
+        gp = cast(g.init(ks[0], z))
+        rp = cast(r.init(ks[1], z, z))
+        dp = cast(d.init(ks[2], z))
+        rng = np.random.default_rng(23)
+        a, b = (
+            jnp.asarray(rng.uniform(-1, 1, (2, size, size, 1)))
+            for _ in range(2)
+        )
+        adv_w, corr_w, smooth_w = 1.0, 20.0, 10.0
+
+        def tail(rp_, fake):
+            # the HD stage-1 G+R loss after the G forward
+            # (steps.reg_train_step::tail_losses, scalar-D arm)
+            flow = r.apply(rp_, fake, b)
+            warped = warp2d(fake, flow)
+            sm = smooth_w * smoothing_loss(flow)
+            sr = corr_w * L.l1(warped, b)
+            d_out = d.apply(dp, fake)
+            adv = adv_w * L.mse(d_out, jnp.ones_like(d_out))
+            return sm + adv + sr, {"SM": sm, "SR": sr, "adv": adv}
+
+        def seq_loss(params):
+            gp_, rp_ = params
+            total, aux = tail(rp_, g.apply(gp_, a))
+            return total, aux
+
+        (ref_loss, ref_aux), (ref_gg, ref_rg) = jax.value_and_grad(
+            seq_loss, has_aux=True
+        )((gp, rp))
+
+        mesh = make_pp_mesh(stages)
+        packed = pl.pp_pack_params(gp, g.n_residual_blocks, stages)
+
+        def epilogue(rest_p, extras, frozen, y, mb):
+            (rp_,) = extras
+            fake = pl._up_tail(g, rest_p, y)
+            # frozen rides d/b via closure equivalence: b is mb-sliced
+            flow = r.apply(rp_, fake, mb["b"])
+            warped = warp2d(fake, flow)
+            sm = smooth_w * smoothing_loss(flow)
+            sr = corr_w * L.l1(warped, mb["b"])
+            d_out = d.apply(frozen, fake)
+            adv = adv_w * L.mse(d_out, jnp.ones_like(d_out))
+            return sm + adv + sr, {"SM": sm, "SR": sr, "adv": adv}
+
+        prog = pl.pp_1f1b_value_and_grad(g, mesh, micro, epilogue)
+        (loss, aux), (bg, restg, exg) = jax.jit(prog)(
+            packed["body"], packed["rest"], (rp,), dp, {"a": a, "b": b}
+        )
+        got_gg = pl.pp_unpack_params(
+            {"body": jax.device_get(bg), "rest": jax.device_get(restg)},
+            g.n_residual_blocks,
+        )
+        (got_rg,) = exg
+
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-6)
+        for k in ref_aux:
+            np.testing.assert_allclose(
+                float(aux[k]), float(ref_aux[k]), rtol=1e-5, err_msg=k
+            )
+        for name, ref_t, got_t in (("G", ref_gg, got_gg),
+                                   ("R", ref_rg, got_rg)):
+            flat_ref = jax.tree_util.tree_flatten_with_path(ref_t)[0]
+            flat_got = jax.tree.leaves(got_t)
+            assert len(flat_ref) == len(flat_got)
+            for (path, x), y in zip(flat_ref, flat_got):
+                np.testing.assert_allclose(
+                    np.asarray(y), np.asarray(x), rtol=1e-4, atol=1e-5,
+                    err_msg=name + jax.tree_util.keystr(path),
+                )
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 @pytest.mark.parametrize("schedule", ["gpipe", "1f1b"])
 def test_pp_train_step_matches_sequential(schedule):
     """VERDICT r2 #3: pipelined TRAINING — the pipelined P2p step
