@@ -757,6 +757,15 @@ class TrainerBase:
         ``log_every`` steps — <1% of step time at the default cadence.
         Best-effort: a rendering hiccup never kills training."""
         cfg = self.config
+        # multi-host: the live training batch is a GLOBAL array — any
+        # host-0-only computation on it (slice, G forward, device pull)
+        # desyncs the cluster's collectives and aborts the other hosts
+        # (the r4 cross-host _save bug class; caught again by the
+        # 2-process e2e suite). The epoch/val-boundary dashboard, which
+        # builds its panel from a host-local val batch, still covers
+        # multi-host observability.
+        if jax.process_count() > 1:
+            return
         if not self._is_host0() or not cfg.save_root:
             return
         try:
