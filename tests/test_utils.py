@@ -16,6 +16,24 @@ from ctagan_tpu.utils.logging import TrainLogger
 from ctagan_tpu.utils.profiling import StepTimer
 
 
+def test_shipped_config_presets_load():
+    """Every configs/*.yaml preset (incl. the r5 certified-fast recipe)
+    loads and validates through load_config."""
+    import glob
+
+    from ctagan_tpu.utils.config import load_config
+
+    root = os.path.join(os.path.dirname(os.path.dirname(__file__)), "configs")
+    presets = sorted(glob.glob(os.path.join(root, "*.yaml")))
+    assert len(presets) >= 7, presets
+    for p in presets:
+        cfg = load_config(p)
+        assert cfg.name, p
+    fast = load_config(os.path.join(root, "HdGan_fast.yaml"))
+    assert fast.pad_mode == "zero" and fast.warp_max_disp == 4
+    assert fast.reg_downsample == 2 and fast.compute_dtype == "bfloat16"
+
+
 def test_config_reference_yaml_compat(tmp_path):
     # a verbatim reference-style YAML loads with exact key names
     y = tmp_path / "ref.yaml"
