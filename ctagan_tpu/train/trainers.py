@@ -87,6 +87,12 @@ class TrainerBase:
             )
         self.config = config
         self.quiet = quiet
+        # persistent XLA compile cache (config compilation_cache): kills
+        # the once-per-process cold compiles on the tunneled TPU (first
+        # eval 160-340 s -> sub-second across processes; utils/jaxcache.py)
+        from ctagan_tpu.utils.jaxcache import maybe_enable_compilation_cache
+
+        maybe_enable_compilation_cache(config.compilation_cache)
         # parallelism plan: an explicit config `mesh:` spec ({dp/fsdp/tp/sp})
         # wins; otherwise the legacy data_parallel behavior (all local
         # devices on a 1-D data mesh)

@@ -111,6 +111,12 @@ class Config:
     # (elementwise-mean losses; equality locked by tests); supported for
     # the P2p and Reg/HD families
     ema_decay: float = 0.0  # >0: keep an EMA of G params, used for eval
+    compilation_cache: str = "auto"  # persistent XLA compile cache dir for
+    # accelerator backends: 'auto' = ~/.cache/ctagan_tpu/jaxcache, a path =
+    # that dir, 'off' = disabled. Kills the once-per-process cold compiles
+    # on the tunneled TPU (first eval measured 160-340 s; cache probe r5:
+    # >110 s cold -> 0.63 s warm across processes). CPU backends skip it
+    # (their big SPMD executables don't serialize).
     device_windowing: bool = True  # feed raw uint16 pixels and derive the
     # windowed/full-range views ON DEVICE (ops/windowing.py, bit-matched to
     # the host codec) — 2-6x fewer host->device bytes; False = host-side

@@ -16,6 +16,29 @@ from ctagan_tpu.utils.logging import TrainLogger
 from ctagan_tpu.utils.profiling import StepTimer
 
 
+def test_compilation_cache_gating(tmp_path):
+    """compilation_cache wiring: accelerator backends get the cache dir,
+    cpu is a no-op (its SPMD executables don't serialize), off disables;
+    'auto' resolves to the default user-cache path."""
+    import jax
+
+    from ctagan_tpu.utils.jaxcache import maybe_enable_compilation_cache
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        assert maybe_enable_compilation_cache("auto", backend="cpu") is None
+        assert maybe_enable_compilation_cache("off", backend="tpu") is None
+        assert maybe_enable_compilation_cache(None, backend="tpu") is None
+        d = str(tmp_path / "jc")
+        got = maybe_enable_compilation_cache(d, backend="tpu")
+        assert got == d and os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+        auto = maybe_enable_compilation_cache("auto", backend="tpu")
+        assert auto.endswith(os.path.join("ctagan_tpu", "jaxcache"))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
+
+
 def test_shipped_config_presets_load():
     """Every configs/*.yaml preset (incl. the r5 certified-fast recipe)
     loads and validates through load_config."""
